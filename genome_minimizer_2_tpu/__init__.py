@@ -1,0 +1,22 @@
+"""genome_minimizer_2_tpu — a TPU-native minimal-genome design engine.
+
+A from-scratch JAX/XLA/Pallas framework with the full capability surface of the
+``ucl-cssb/genome-minimizer-2`` pipeline (reference mounted at /root/reference):
+
+- VAE training on E. coli gene presence/absence matrices (v0-v3 presets,
+  linear/cosine KL annealing, gene-abundance + L1 losses)            -> train/
+- latent sampling of synthetic genomes (default + focused modes)     -> sample/
+- binary-mask -> gene-ID conversion with essential-gene backfill     -> genome/
+- reference-guided sequence minimization to FASTA (byte-equal to the
+  reference on the deterministic convert->minimize sub-pipeline)     -> genome/
+- data exploration figures + essential-gene position extraction      -> explore/
+- F1/accuracy evaluation + latent-space PCA visualisation            -> eval/
+
+Unlike the reference (single-process PyTorch, per-batch host syncs), all
+compute here is jitted and fused for TPU: whole epochs run as a single
+compiled program (lax.scan over batches, one host sync per epoch), sampling is
+an embarrassingly parallel pjit'd decode, and training scales data-parallel
+over a `jax.sharding.Mesh` with XLA-inserted psum gradient reductions.
+"""
+
+__version__ = "0.1.0"

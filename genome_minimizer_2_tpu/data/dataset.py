@@ -1,0 +1,104 @@
+"""Presence/absence dataset loading and validation.
+
+Capability parity with the reference's data layer
+(/root/reference/src/genome_minimizer_2/explore_data/data_exploration.py:54-107):
+
+- read the genes x samples presence/absence CSV (index col 0),
+- upper-case the sample-ID columns (data_exploration.py:70),
+- drop the 'Lineage' row if present (data_exploration.py:78),
+- transpose to samples x genes,
+- inner-join the phylogroup table on its 'ID' column (data_exploration.py:83-89),
+- validate the merge produced rows and a 'Phylogroup' column.
+
+Returns plain numpy + column vocab in addition to DataFrames so the rest of
+the framework never touches pandas on a hot path.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+from typing import Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..utils import directories
+
+logger = logging.getLogger(__name__)
+
+
+def load_and_validate_data(
+    dataset_path: str | None = None,
+    phylogroups_path: str | None = None,
+) -> Tuple[pd.DataFrame, pd.DataFrame, pd.DataFrame]:
+    """Load and validate the datasets (reference: data_exploration.py:54-107).
+
+    Returns:
+        (large_data, merged_df, data_without_lineage) with identical shapes and
+        semantics to the reference: large_data is genes x samples (columns
+        upper-cased), merged_df is samples x genes + 'Phylogroup',
+        data_without_lineage is genes x samples without the 'Lineage' row.
+    """
+    dataset_path = dataset_path or directories.ten_k_dataset()
+    phylogroups_path = phylogroups_path or directories.ten_k_dataset_phylogroups()
+
+    logger.info("Loading datasets...")
+    large_data = pd.read_csv(dataset_path, index_col=0, header=0)
+    large_data.columns = large_data.columns.str.upper()
+
+    phylogroup_data = pd.read_csv(phylogroups_path, index_col=0, header=0)
+    logger.info("Phylogroup data loaded: %s", phylogroup_data.shape)
+
+    data_without_lineage = large_data.drop(index=["Lineage"], errors="ignore")
+    logger.info("Main dataset loaded: %s (genes x samples)", data_without_lineage.shape)
+
+    merged_df = pd.merge(
+        data_without_lineage.transpose(),
+        phylogroup_data,
+        how="inner",
+        left_index=True,
+        right_on="ID",
+    )
+    logger.info("Merged dataset: %s (samples x genes+phylogroup)", merged_df.shape)
+
+    if merged_df.empty:
+        raise ValueError("Merged dataset is empty - check ID matching between datasets")
+    if "Phylogroup" not in merged_df.columns:
+        raise ValueError("Phylogroup column not found in merged data")
+
+    logger.info("✓ Data validation passed")
+    return large_data, merged_df, data_without_lineage
+
+
+@dataclasses.dataclass
+class GenomeMatrix:
+    """Dense numpy view of the merged dataset for the compute path."""
+
+    data: np.ndarray          # (n_samples, n_genes) float32 presence/absence
+    genes: np.ndarray         # (n_genes,) object — gene names (column vocab)
+    phylogroups: np.ndarray   # (n_samples,) object — phylogroup labels
+
+    @property
+    def n_samples(self) -> int:
+        return self.data.shape[0]
+
+    @property
+    def n_genes(self) -> int:
+        return self.data.shape[1]
+
+
+def to_matrix(merged_df: pd.DataFrame) -> GenomeMatrix:
+    """Extract dense arrays from the merged dataframe (experiments.py:210-216)."""
+    data = merged_df.iloc[:, :-1].to_numpy(dtype=np.float32)
+    genes = merged_df.columns[:-1].to_numpy()
+    phylogroups = merged_df["Phylogroup"].to_numpy()
+    return GenomeMatrix(data=data, genes=genes, phylogroups=phylogroups)
+
+
+def load_matrix(
+    dataset_path: str | None = None,
+    phylogroups_path: str | None = None,
+) -> GenomeMatrix:
+    _, merged_df, _ = load_and_validate_data(dataset_path, phylogroups_path)
+    return to_matrix(merged_df)

@@ -1,0 +1,18 @@
+"""Helpers for using the mounted reference implementation as a test oracle.
+
+We import the reference's torch modules (read-only) purely to check numerical
+parity of our JAX re-implementation. Guarded: tests skip if the reference or
+torch is unavailable.
+"""
+
+import sys
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def import_reference_module(dotted: str):
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    import importlib
+
+    return importlib.import_module(dotted)
