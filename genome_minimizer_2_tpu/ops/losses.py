@@ -150,14 +150,24 @@ def gene_abundance(logits, feature_mask) -> jnp.ndarray:
     return jnp.sum(jnp.abs(total_gene_number))
 
 
+def _abs_torch_subgrad(x):
+    """|x| with d|x|/dx = sign(x) and sign(0) = 0 (torch's subgradient).
+
+    JAX's jnp.abs uses derivative 1 at x == 0, which would push zero-initialized
+    biases (and the inert padding rows) off zero under L1. Value is identical;
+    only the x == 0 cotangent differs.
+    """
+    return x * jnp.sign(jax.lax.stop_gradient(x))
+
+
 def l1_penalty(params) -> jnp.ndarray:
     """sum |p| over all trainable params (loss_components.py:181-184).
 
-    Padded rows/cols are exactly zero and jnp.sign(0)=0, so padding neither
+    Padded rows/cols are exactly zero and sign(0)=0, so padding neither
     contributes to the penalty nor receives gradient.
     """
     leaves = jax.tree_util.tree_leaves(params)
-    return sum(jnp.sum(jnp.abs(p)) for p in leaves)
+    return sum(jnp.sum(_abs_torch_subgrad(p)) for p in leaves)
 
 
 def l2_penalty(params) -> jnp.ndarray:
