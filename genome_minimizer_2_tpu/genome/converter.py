@@ -1,0 +1,159 @@
+"""Binary mask -> gene-ID conversion with essential-gene backfill.
+
+Vectorized re-design of the reference converter
+(/root/reference/src/genome_minimizer_2/explore_data/binary_converter.py):
+same observable behavior — identical output .npy files — without the
+per-row Python loops and per-10-rows progress prints:
+
+- duplicate gene columns are dropped keeping the first occurrence
+  (binary_converter.py:29-36),
+- masks threshold at >= 0.5 (binary_converter.py:55 — note sampling mode
+  uses strict > 0.5; the asymmetry is preserved, see sample/sampler.py),
+- per-sample gene lists are the retained column names in column order
+  (binary_converter.py:62-67), saved as an object-dtype .npy,
+- ``check_essential_genes`` set-unions missing essentials into each sample
+  and saves the *sorted* union to ``*_with_essentials.npy``
+  (binary_converter.py:78-121).
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+from typing import List, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+logger = logging.getLogger(__name__)
+
+
+def load_files(essentials_csv_path: str, ids_npy_path: str):
+    """Load the essentials set and gene-list array (binary_converter.py:11-17).
+
+    Accepts either a '# gene' or 'gene' header column.
+    """
+    essential_genes = pd.read_csv(essentials_csv_path)
+    col = "# gene" if "# gene" in essential_genes.columns else "gene"
+    essential_set = set(essential_genes[col].astype(str).str.strip())
+    id_lists = np.load(ids_npy_path, allow_pickle=True)
+    return essential_set, id_lists
+
+
+def dedupe_columns(cols: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Drop duplicate gene names keeping first occurrences.
+
+    Returns (deduped_cols, keep_mask). (binary_converter.py:29-36)
+    """
+    cols = np.asarray(cols)
+    uniq, first_idx = np.unique(cols, return_index=True)
+    if len(uniq) == len(cols):
+        return cols, np.ones(len(cols), dtype=bool)
+    logger.warning(
+        "%d duplicate gene names detected; keeping first occurrences",
+        len(cols) - len(uniq),
+    )
+    keep_mask = np.zeros(len(cols), dtype=bool)
+    keep_mask[np.sort(first_idx)] = True
+    return cols[keep_mask], keep_mask
+
+
+def load_masks(masks_npy_path: str) -> np.ndarray:
+    """Load a masks .npy with the reference's shape coercions
+    (binary_converter.py:39-45)."""
+    masks = np.load(masks_npy_path, allow_pickle=True)
+    if masks.ndim == 1:
+        if len(masks) and isinstance(masks[0], (list, np.ndarray)):
+            masks = np.stack([np.asarray(row, dtype=float) for row in masks])
+        else:
+            masks = masks[None, :]
+    return masks
+
+
+def masks_to_gene_lists(
+    masks_npy_path: str,
+    cols: Sequence[str],
+    out_ids_npy: str | None,
+    threshold: float = 0.5,
+) -> List[List[str]]:
+    """Convert binary/continuous masks to per-sample gene-name lists.
+
+    Vectorized: one >= threshold comparison over the whole (N, P) matrix,
+    then a column-name gather per row. Output identical to
+    binary_converter.py:19-76 (same dedupe, same >=, same object .npy).
+    """
+    cols = np.asarray(cols)
+    P = len(cols)
+    logger.info("masks: %s", masks_npy_path)
+    logger.info("Resolved %d gene columns", P)
+
+    cols, keep_mask = dedupe_columns(cols)
+    P = len(cols)
+
+    masks = load_masks(masks_npy_path)
+    N = len(masks)
+    logger.info("Masks shape: N=%d samples", N)
+
+    rows = np.asarray(masks, dtype=float)
+    if rows.shape[1] != keep_mask.size and rows.shape[1] != P:
+        raise ValueError(
+            f"Mask rows have length {rows.shape[1]}, but dataset has "
+            f"{keep_mask.size} gene columns."
+        )
+    if rows.shape[1] == keep_mask.size and keep_mask.size != P:
+        rows = rows[:, keep_mask]
+    M = rows >= threshold
+
+    id_lists: List[List[str]] = [cols[M[i]].tolist() for i in range(N)]
+
+    if out_ids_npy:
+        os.makedirs(os.path.dirname(out_ids_npy) or ".", exist_ok=True)
+        np.save(out_ids_npy, np.array(id_lists, dtype=object))
+        logger.info("Saved IDs (NPY): %s", out_ids_npy)
+
+    sizes = M.sum(axis=1)
+    print(f"✓ Number of samples processed = {N} | Average gene count = {sizes.mean():.1f}")
+    return id_lists
+
+
+def check_essential_genes(
+    essential_set: set,
+    id_lists,
+    out_ids_npy: str,
+) -> str:
+    """Force-insert missing essential genes per sample; save sorted unions.
+
+    Semantics identical to binary_converter.py:78-121: per-sample set union
+    with the essentials, sorted() (lexicographic by code point), object .npy
+    saved next to ``out_ids_npy`` with the ``_with_essentials`` suffix.
+    """
+    n_samples = len(id_lists)
+    logger.info(
+        "Checking & fixing essential genes (n=%d) across %d samples",
+        len(essential_set), n_samples,
+    )
+    updated_samples = []
+    n_fixed = 0
+    n_ok = 0
+    for idx, gene_list in enumerate(id_lists):
+        if isinstance(gene_list, np.ndarray):
+            gene_list = gene_list.tolist()
+        gene_set = set(gene_list)
+        missing = essential_set - gene_set
+        if missing:
+            gene_set.update(missing)
+            if essential_set - gene_set:
+                raise RuntimeError(
+                    f"Post-add verify failed for sample {idx + 1}"
+                )
+            n_fixed += 1
+        else:
+            n_ok += 1
+        updated_samples.append(sorted(gene_set))
+
+    base, ext = os.path.splitext(out_ids_npy)
+    out_path = base + "_with_essentials" + ext
+    np.save(out_path, np.array(updated_samples, dtype=object))
+    logger.info("Saved updated samples with essential genes to: %s", out_path)
+    print(f"✓ Verified {n_samples} samples | already OK: {n_ok} | fixed: {n_fixed}")
+    return out_path

@@ -1,0 +1,449 @@
+"""Reference-guided genome minimization — vectorized sequence engine.
+
+Re-design of the reference minimizer (/root/reference/src/genome_minimizer_2/
+minimizer/minimizer_2.py). The reference builds, per sample, a Python *set of
+every base position* to remove and then loops base-by-base over the 4.6 Mbp
+genome (minimizer_2.py:68-101) — O(genome) Python-object work per genome.
+Here the same result is computed with interval arithmetic on numpy arrays:
+
+1. parse the GenBank once into (name, start, end) arrays (genome/genbank.py),
+2. per sample, mark non-essential features (name not in the needed-gene set —
+   same membership semantics as the reference's list scan, minimizer_2.py:62),
+3. build the union of their [start, end) intervals with a +1/-1 boundary
+   diff + cumsum (exact set-union equivalence),
+4. compact the sequence bytes with one boolean gather.
+
+Output is byte-identical to the reference: same FASTA headers
+('>Minimized_E_coli_K12_MG1655_{i+1}'), same single-file '#' comment lines,
+same per-file naming template, same returned statistics (including the
+reference's quirk that the single-file average-reduction accumulator only
+samples printed iterations — minimizer_2.py:482-489).
+
+Scale-out: ``process_sharded`` partitions the sample axis across hosts
+(jax.process_index) and merges per-host shard files in process order.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+from pathlib import Path
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+from .genbank import GenBankRecord, parse_genbank
+
+logger = logging.getLogger(__name__)
+
+SEQ_ID_PREFIX = "Minimized_E_coli_K12_MG1655"
+
+
+@dataclasses.dataclass
+class MinimizerEngine:
+    """Preprocessed wild-type genome ready for batch minimization."""
+
+    record: GenBankRecord
+    gene_names: np.ndarray   # (F,) object
+    starts: np.ndarray       # (F,) int64, 0-based inclusive
+    ends: np.ndarray         # (F,) int64, 0-based exclusive
+    seq_bytes: np.ndarray    # (L,) uint8
+
+    @classmethod
+    def from_genbank(cls, path: str | Path) -> "MinimizerEngine":
+        record = parse_genbank(path)
+        return cls.from_record(record)
+
+    @classmethod
+    def from_record(cls, record: GenBankRecord) -> "MinimizerEngine":
+        names, starts, ends = record.gene_arrays()
+        seq_bytes = np.frombuffer(record.seq.encode("ascii"), dtype=np.uint8)
+        return cls(record=record, gene_names=names, starts=starts, ends=ends,
+                   seq_bytes=seq_bytes)
+
+    @property
+    def original_length(self) -> int:
+        return len(self.seq_bytes)
+
+    # -- core ---------------------------------------------------------------
+
+    def removal_mask(self, needed_genes: Sequence[str]) -> np.ndarray:
+        """(L,) bool — True where the base belongs to a non-essential gene.
+
+        Equivalent to the reference's positions_to_remove set
+        (minimizer_2.py:68-83): union of [start, end) over features whose
+        gene name is NOT in ``needed_genes``.
+        """
+        needed = set(needed_genes)
+        non_essential = np.fromiter(
+            (name not in needed for name in self.gene_names),
+            dtype=bool, count=len(self.gene_names),
+        )
+        L = self.original_length
+        diff = np.zeros(L + 1, dtype=np.int32)
+        s = np.minimum(self.starts[non_essential], L)
+        e = np.minimum(self.ends[non_essential], L)
+        np.add.at(diff, s, 1)
+        np.add.at(diff, e, -1)
+        return np.cumsum(diff[:-1]) > 0
+
+    def num_removed_features(self, needed_genes: Sequence[str]) -> int:
+        needed = set(needed_genes)
+        return int(sum(name not in needed for name in self.gene_names))
+
+    def minimize(self, needed_genes: Sequence[str]) -> str:
+        """Minimized genome string for one sample (byte-equal to the
+        reference's per-base loop, minimizer_2.py:85-101)."""
+        keep = ~self.removal_mask(needed_genes)
+        return self.seq_bytes[keep].tobytes().decode("ascii")
+
+    def minimize_batch(self, gene_lists: Sequence[Sequence[str]]) -> List[str]:
+        return [self.minimize(genes) for genes in gene_lists]
+
+
+class GenomeMinimiser:
+    """Per-sample facade with the reference's attribute surface
+    (minimizer_2.py:19-270): wildtype_sequence, original_genome_length,
+    needed_genes, positions_to_remove, reduced_genome_str,
+    get_reduction_stats(), save_minimized_genome()."""
+
+    def __init__(
+        self,
+        record_path: str | None = None,
+        needed_genes_path: str | None = None,
+        idx: int = 0,
+        model_name: str = "",
+        record: GenBankRecord | None = None,
+        engine: MinimizerEngine | None = None,
+        all_needed_gene_lists: list | None = None,
+        needed_genes_list: list | None = None,
+    ):
+        self.idx = idx
+        self.model_name = model_name
+        if engine is not None:
+            self.engine = engine
+        elif record is not None:
+            self.engine = MinimizerEngine.from_record(record)
+        else:
+            self.engine = MinimizerEngine.from_genbank(record_path)
+        self.record = self.engine.record
+        self.wildtype_sequence = self.record
+        self.original_genome_length = self.engine.original_length
+
+        if needed_genes_list is not None:
+            self.needed_genes = list(needed_genes_list)
+        elif all_needed_gene_lists is not None:
+            self.needed_genes = list(all_needed_gene_lists[idx])
+        else:
+            lists = np.load(needed_genes_path, allow_pickle=True).tolist()
+            self.needed_genes = list(lists[idx])
+
+        self._removal = self.engine.removal_mask(self.needed_genes)
+        self.positions_to_remove = None  # lazily materialized set view
+        self.reduced_genome_str = self.engine.seq_bytes[~self._removal].tobytes().decode("ascii")
+
+    def get_positions_to_remove(self) -> set:
+        if self.positions_to_remove is None:
+            self.positions_to_remove = set(np.nonzero(self._removal)[0].tolist())
+        return self.positions_to_remove
+
+    def get_reduction_stats(self) -> dict:
+        """Reduction statistics (minimizer_2.py:254-270)."""
+        reduced_length = len(self.reduced_genome_str)
+        return {
+            "original_length": self.original_genome_length,
+            "reduced_length": reduced_length,
+            "reduction_percentage": (
+                (self.original_genome_length - reduced_length)
+                / self.original_genome_length * 100
+            ),
+            "genes_removed": self.engine.num_removed_features(self.needed_genes),
+            "positions_removed": int(self._removal.sum()),
+        }
+
+    def save_minimized_genome(self, file_path: str):
+        """Write '>{prefix}_{idx+1}\\n{seq}' (minimizer_2.py:103-121 — note the
+        reference writes no trailing newline in this single-genome method)."""
+        with open(file_path, "w") as f:
+            f.write(f">{SEQ_ID_PREFIX}_{self.idx + 1}\n")
+            f.write(self.reduced_genome_str)
+
+
+# ---------------------------------------------------------------------------
+# Duplicate analysis + summary (minimizer_2.py:273-444)
+# ---------------------------------------------------------------------------
+
+def check_sequence_duplicates(sequences_dict: Dict[str, str]) -> dict:
+    """Group identical sequences; same stats dict as minimizer_2.py:273-303."""
+    groups: Dict[str, list] = {}
+    for seq_id, sequence in sequences_dict.items():
+        groups.setdefault(sequence, []).append(seq_id)
+    duplicates = {s: ids for s, ids in groups.items() if len(ids) > 1}
+    uniques = {s: ids for s, ids in groups.items() if len(ids) == 1}
+    return {
+        "total_sequences": len(sequences_dict),
+        "unique_sequences": len(groups),
+        "duplicate_groups": len(duplicates),
+        "duplicated_sequences": sum(len(ids) for ids in duplicates.values()),
+        "unique_only_sequences": len(uniques),
+        "duplicates_detail": duplicates,
+        "compression_ratio": len(groups) / len(sequences_dict) if sequences_dict else 0,
+    }
+
+
+def print_duplicate_statistics(duplicate_stats: dict):
+    print("\n" + "=" * 80)
+    print("SEQUENCE DUPLICATION ANALYSIS")
+    print("=" * 80)
+    print(" Overview:")
+    print(f"- Total sequences generated: {duplicate_stats['total_sequences']:,}")
+    print(f"- Unique sequences: {duplicate_stats['unique_sequences']:,}")
+    print(f"- Duplicate groups: {duplicate_stats['duplicate_groups']:,}")
+    print(f"- Sequences with duplicates: {duplicate_stats['duplicated_sequences']:,}")
+    print(f"- Truly unique sequences: {duplicate_stats['unique_only_sequences']:,}")
+    print(f"- Percentage of unique sequences: {duplicate_stats['compression_ratio']:.2%}")
+    if duplicate_stats["duplicate_groups"] > 0:
+        dups = sorted(duplicate_stats["duplicates_detail"].items(),
+                      key=lambda x: len(x[1]), reverse=True)
+        print("\n Duplicate Details:")
+        for i, (sequence, ids) in enumerate(dups[:10]):
+            print(f"Group {i + 1}: {len(ids)} identical sequences")
+            print(f"- Sequence: {sequence[:50]}{'...' if len(sequence) > 50 else ''}")
+            print(f"- IDs: {', '.join(ids[:5])}{'...' if len(ids) > 5 else ''}")
+            print()
+        if len(dups) > 10:
+            print(f"  ... and {len(dups) - 10} more duplicate groups")
+    else:
+        print("\n✓ No duplicate sequences found!")
+    print("=" * 80)
+
+
+def generate_summary_file(
+    output_file: str,
+    model_name: str,
+    genome_path: str,
+    genes_path: str,
+    original_length: int,
+    minimised_sizes: list,
+    duplicate_stats: dict,
+    output_dir: str | None = None,
+):
+    """Summary report (minimizer_2.py:346-444); output_dir defaults next to
+    ``output_file`` rather than a hard-coded project subdir."""
+    output_dir = output_dir or (os.path.dirname(output_file) or ".")
+    os.makedirs(output_dir, exist_ok=True)
+    summary_file = os.path.join(
+        output_dir, os.path.basename(output_file).replace(".fasta", "_summary.txt"))
+
+    sizes = np.asarray(minimised_sizes, dtype=float)
+    mean_size = sizes.mean() if sizes.size else 0
+    median_size = float(np.median(sizes)) if sizes.size else 0
+    min_size = sizes.min() if sizes.size else 0
+    max_size = sizes.max() if sizes.size else 0
+    std_size = sizes.std() if sizes.size else 0
+
+    with open(summary_file, "w") as f:
+        f.write("=" * 80 + "\n")
+        f.write("GENOME MINIMIZATION SUMMARY REPORT\n")
+        f.write("=" * 80 + "\n\n")
+        f.write("GENERATION INFORMATION\n")
+        f.write("-" * 40 + "\n")
+        f.write(f"Model Name: {model_name}\n")
+        f.write(f"Generated on: {np.datetime64('now')}\n")
+        f.write(f"Output FASTA file: {os.path.basename(output_file)}\n")
+        f.write(f"Summary file: {os.path.basename(summary_file)}\n\n")
+        f.write("INPUT FILES\n")
+        f.write("-" * 40 + "\n")
+        f.write(f"Genome template: {os.path.basename(genome_path)}\n")
+        f.write(f"Gene lists file: {os.path.basename(genes_path)}\n")
+        f.write(f"Original genome length: {original_length:,} bp\n\n")
+        f.write("PROCESSING STATISTICS\n")
+        f.write("-" * 40 + "\n")
+        f.write(f"Successfully processed: {len(minimised_sizes):,}\n\n")
+        f.write("MINIMIZED GENOME SIZE STATISTICS\n")
+        f.write("-" * 40 + "\n")
+        f.write(f"Mean size: {mean_size:.3f} Mbp ({mean_size * 1e6:,.0f} bp)\n")
+        f.write(f"Median size: {median_size:.3f} Mbp ({median_size * 1e6:,.0f} bp)\n")
+        f.write(f"Minimum size: {min_size:.3f} Mbp ({min_size * 1e6:,.0f} bp)\n")
+        f.write(f"Maximum size: {max_size:.3f} Mbp ({max_size * 1e6:,.0f} bp)\n")
+        f.write(f"Standard deviation: {std_size:.3f} Mbp\n")
+        f.write(f"Size range: {max_size - min_size:.3f} Mbp\n\n")
+        if original_length > 0:
+            f.write("GENOME REDUCTION STATISTICS\n")
+            f.write("-" * 40 + "\n")
+            f.write(f"Mean reduction: {((original_length - mean_size * 1e6) / original_length) * 100:.2f}%\n")
+            f.write(f"Minimum reduction: {((original_length - max_size * 1e6) / original_length) * 100:.2f}% (largest genome)\n")
+            f.write(f"Maximum reduction: {((original_length - min_size * 1e6) / original_length) * 100:.2f}% (smallest genome)\n\n")
+        f.write("SEQUENCE DUPLICATION ANALYSIS\n")
+        f.write("-" * 40 + "\n")
+        f.write(f"Total sequences: {duplicate_stats['total_sequences']:,}\n")
+        f.write(f"Unique sequences: {duplicate_stats['unique_sequences']:,}\n")
+        f.write(f"Duplicate groups: {duplicate_stats['duplicate_groups']:,}\n")
+        f.write(f"Sequences with duplicates: {duplicate_stats['duplicated_sequences']:,}\n")
+        f.write(f"Uniqueness ratio: {duplicate_stats['compression_ratio']:.2%}\n")
+        if minimised_sizes:
+            f.write("\nSIZE DISTRIBUTION SUMMARY\n")
+            f.write("-" * 40 + "\n")
+            size_bins = np.linspace(min_size, max_size, 6)
+            hist, _ = np.histogram(sizes, bins=size_bins)
+            for i in range(len(hist)):
+                pct = (hist[i] / len(minimised_sizes)) * 100
+                f.write(f"{size_bins[i]:.2f} - {size_bins[i + 1]:.2f} Mbp: "
+                        f"{hist[i]:,} genomes ({pct:.1f}%)\n")
+    logger.info("✓ Summary file saved: %s", summary_file)
+    return summary_file
+
+
+# ---------------------------------------------------------------------------
+# Batch drivers (minimizer_2.py:447-560)
+# ---------------------------------------------------------------------------
+
+def _load_inputs(genome_path: str, genes_path: str):
+    engine = MinimizerEngine.from_genbank(genome_path)
+    all_lists = np.load(genes_path, allow_pickle=True).tolist()
+    return engine, all_lists
+
+
+def process_multiple_genomes_single_file(
+    genome_path: str,
+    genes_path: str,
+    model_name: str,
+    output_file: str | None = None,
+    verbose: bool = True,
+) -> dict:
+    """Minimize every gene list into ONE FASTA — byte-identical layout to
+    minimizer_2.py:447-495 ('#' comment header lines + '>{id}\\n{seq}\\n')."""
+    if not output_file:
+        output_file = os.path.join("minimized_genomes",
+                                   f"minimized_genomes_{model_name}.fasta")
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+
+    engine, all_lists = _load_inputs(genome_path, genes_path)
+    original_length = engine.original_length
+    genome_number = len(all_lists)
+
+    sizes_mbp: List[float] = []
+    tot_red_pct = 0.0
+    total_length_bp = 0
+
+    with open(output_file, "w") as out:
+        out.write(f"# Minimized genomes generated using model: {model_name}\n")
+        out.write(f"# Total genomes: {genome_number}\n")
+        out.write(f"# Generated on: {np.datetime64('now')}\n")
+        for idx, needed in enumerate(all_lists):
+            if verbose:
+                print(f"[{idx + 1}/{genome_number}] genes present: {len(needed)}")
+            seq = engine.minimize(needed)
+            out.write(f">{SEQ_ID_PREFIX}_{idx + 1}\n{seq}\n")
+            genome_length = len(seq)
+            sizes_mbp.append(genome_length / 1e6)
+            if idx <= 9 or (idx + 1) % 100 == 0:
+                # reference quirk: the running averages only sample printed
+                # iterations (minimizer_2.py:482-486) — preserved
+                red_pct = (original_length - genome_length) / original_length * 100.0
+                if verbose:
+                    print(f"  → {genome_length:,} bp ({red_pct:.1f}% reduction)")
+                tot_red_pct += red_pct
+                total_length_bp += genome_length
+
+    return {
+        "genome_count": genome_number,
+        "average_reduction_pct": tot_red_pct / genome_number,
+        "average_length_bp": total_length_bp / genome_number,
+        "sizes_mbp": sizes_mbp,
+        "original_length": original_length,
+    }
+
+
+def process_multiple_genomes_multiple_files(
+    genome_path: str,
+    genes_path: str,
+    model_name: str,
+    output_dir: str | None = None,
+    filename_template: str = "minimized_{model}_{idx:04d}.fasta",
+    verbose: bool = True,
+) -> dict:
+    """Minimize every gene list into per-sample FASTA files
+    (minimizer_2.py:499-560)."""
+    output_dir = output_dir or "minimized_genomes"
+    os.makedirs(output_dir, exist_ok=True)
+
+    engine, all_lists = _load_inputs(genome_path, genes_path)
+    original_length = engine.original_length
+    genome_number = len(all_lists)
+
+    tot_red_pct = 0.0
+    total_length = 0
+    if verbose:
+        print(f"Writing {genome_number} individual FASTA files to: {output_dir}")
+    for idx, needed in enumerate(all_lists):
+        if verbose:
+            print(f"[{idx + 1}/{genome_number}] genes present: {len(needed)}")
+        seq = engine.minimize(needed)
+        genome_length = len(seq)
+        red_pct = (original_length - genome_length) / original_length * 100.0
+        filename = filename_template.format(model=model_name, idx=idx)
+        out_path = os.path.join(output_dir, filename)
+        with open(out_path, "w") as fh:
+            fh.write(f">{SEQ_ID_PREFIX}_{idx + 1}\n{seq}\n")
+        tot_red_pct += red_pct
+        total_length += genome_length
+        if verbose and (idx <= 9 or (idx + 1) % 100 == 0):
+            print(f"  → saved {os.path.basename(out_path)} | {genome_length:,} bp "
+                  f"({red_pct:.1f}% reduction)")
+
+    return {
+        "genome_count": genome_number,
+        "average_reduction_pct": tot_red_pct / genome_number,
+        "average_length_bp": total_length / genome_number,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Multi-host sharding (new capability — SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+def process_sharded(
+    genome_path: str,
+    genes_path: str,
+    model_name: str,
+    output_file: str,
+    process_index: int | None = None,
+    process_count: int | None = None,
+    merge: bool = True,
+) -> str | None:
+    """Pod-scale single-file minimization: each host minimizes a contiguous
+    shard of the sample axis into ``output_file.shard{K}``; host 0 merges the
+    shards in process order so the merged file is byte-identical to the
+    single-host output.
+    """
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+
+    engine, all_lists = _load_inputs(genome_path, genes_path)
+    n = len(all_lists)
+    lo = pi * n // pc
+    hi = (pi + 1) * n // pc
+
+    shard_path = f"{output_file}.shard{pi:05d}"
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    with open(shard_path, "w") as out:
+        for idx in range(lo, hi):
+            seq = engine.minimize(all_lists[idx])
+            out.write(f">{SEQ_ID_PREFIX}_{idx + 1}\n{seq}\n")
+
+    if not merge or pi != 0:
+        return None
+    # host 0 merges (in a real pod, after a barrier; shards on shared fs)
+    with open(output_file, "w") as out:
+        out.write(f"# Minimized genomes generated using model: {model_name}\n")
+        out.write(f"# Total genomes: {n}\n")
+        out.write(f"# Generated on: {np.datetime64('now')}\n")
+        for k in range(pc):
+            sp = f"{output_file}.shard{k:05d}"
+            with open(sp) as f:
+                out.write(f.read())
+    return output_file
