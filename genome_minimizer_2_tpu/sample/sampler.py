@@ -1,0 +1,213 @@
+"""Latent sampling of synthetic genomes.
+
+Re-design of the reference sampling utilities (/root/reference/src/
+genome_minimizer_2/utils/extras.py:166-228 and main.py:343-370). Sampling is
+stateless generation — an embarrassingly parallel jitted decode over latents —
+so the TPU path runs in fixed-size chunks (one compile), thresholds on-device
+(logits > 0 == sigmoid > 0.5, the sampling mode's *strict* threshold,
+extras.py:201), and only ships the binary masks to the host.
+
+Faithful semantics:
+
+- default mode: z ~ N(0, I), decode, threshold > 0.5 (extras.py:192-203);
+- focused mode (main.py:350-370): 100 probe samples; pick the probe with the
+  fewest genes; compute "latent" distances on the *continuous outputs* (the
+  reference's quirk — main.py:360 computes distances in output space, so the
+  closest index is the min-gene probe itself); decode z* + noise_level * N(0,I);
+- essential-gene counting: a gene counts once per sample if ANY of its mapped
+  positions is set (extras.py:49-87) — vectorized with a segment-any.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from ..models import vae
+
+
+@dataclasses.dataclass
+class Sampler:
+    """Wraps trained model state for batch decoding/encoding."""
+
+    cfg: vae.VAEConfig
+    params: vae.Params
+    batch_stats: vae.BatchStats
+    chunk_size: int = 1024
+
+    def __post_init__(self):
+        cfg = self.cfg
+
+        @jax.jit
+        def _decode_binary(params, stats, z):
+            logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
+            return (logits > 0.0).astype(jnp.uint8)  # sigmoid(x) > 0.5
+
+        @jax.jit
+        def _decode_probs(params, stats, z):
+            logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
+            return jax.nn.sigmoid(logits)
+
+        @jax.jit
+        def _encode_mean(params, stats, x):
+            mean, _, _ = vae.encode(cfg, params, stats, x, train=False)
+            return mean
+
+        self._decode_binary = _decode_binary
+        self._decode_probs = _decode_probs
+        self._encode_mean = _encode_mean
+
+    # -- helpers ------------------------------------------------------------
+
+    def _chunks(self, n: int):
+        for lo in range(0, n, self.chunk_size):
+            yield lo, min(lo + self.chunk_size, n)
+
+    def _decode_chunked(self, z: np.ndarray, fn) -> np.ndarray:
+        """Run fn over fixed-size chunks (padding the tail so only one program
+        is compiled), trimming padding and the feature axis."""
+        n = z.shape[0]
+        D = self.cfg.input_dim
+        outs = []
+        for lo, hi in self._chunks(n):
+            chunk = z[lo:hi]
+            pad = 0
+            if hi - lo < self.chunk_size and n > self.chunk_size:
+                pad = self.chunk_size - (hi - lo)
+                chunk = np.concatenate([chunk, np.zeros((pad,) + z.shape[1:], z.dtype)])
+            out = np.asarray(fn(self.params, self.batch_stats, jnp.asarray(chunk)))
+            if pad:
+                out = out[: hi - lo]
+            outs.append(out[:, :D])
+        return np.concatenate(outs, axis=0)
+
+    # -- public API ---------------------------------------------------------
+
+    def sample(
+        self, key, num_samples: int, return_probs: bool = False
+    ) -> Tuple[np.ndarray, np.ndarray | None, np.ndarray]:
+        """Default sampling (extras.py:192-203).
+
+        Returns (binary uint8 (N, D), probs float32 (N, D) | None, z (N, L)).
+        """
+        z = np.asarray(
+            jax.random.normal(key, (num_samples, self.cfg.latent_dim), jnp.float32))
+        binary = self._decode_chunked(z, self._decode_binary)
+        probs = self._decode_chunked(z, self._decode_probs) if return_probs else None
+        return binary, probs, z
+
+    def sample_focused(
+        self,
+        key,
+        num_samples: int,
+        noise_level: float = 0.1,
+        n_probes: int = 100,
+    ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Focused sampling (main.py:350-370).
+
+        Probes the prior, anchors on the minimal-genome probe (via the
+        reference's output-space distance computation, preserved verbatim in
+        semantics), then decodes z* + noise_level * N(0, I).
+        """
+        probe_key, noise_key = jax.random.split(key)
+        binary_temp, continuous_temp, z_temp = self.sample(
+            probe_key, n_probes, return_probs=True)
+        min_ones_index = int(np.argmin(binary_temp.sum(axis=1)))
+        latent_distances = np.linalg.norm(
+            continuous_temp - continuous_temp[min_ones_index], axis=1)
+        closest_latent_index = int(np.argmin(latent_distances))
+        z_of_interest = z_temp[closest_latent_index][None, :]
+
+        noise = np.asarray(jax.random.normal(
+            noise_key, (num_samples, self.cfg.latent_dim), jnp.float32)) * noise_level
+        z = z_of_interest + noise
+        binary = self._decode_chunked(z, self._decode_binary)
+        probs = self._decode_chunked(z, self._decode_probs)
+        return binary, probs, z
+
+    def encode_means(self, x: np.ndarray, batch_size: int = 32) -> np.ndarray:
+        """Latent means over a dataset in eval mode (get_latent_variables,
+        extras.py:205-228)."""
+        x = np.asarray(x, np.float32)
+        outs = []
+        for lo in range(0, x.shape[0], batch_size):
+            chunk = self.cfg.pad_inputs(jnp.asarray(x[lo : lo + batch_size]))
+            outs.append(np.asarray(self._encode_mean(self.params, self.batch_stats, chunk)))
+        return np.concatenate(outs, axis=0)
+
+
+def load_sampler(checkpoint_path: str, input_dim: int | None = None) -> Tuple[Sampler, "ExperimentConfig"]:
+    """Rebuild a Sampler from a checkpoint (load_model, extras.py:166-189 —
+    but the architecture comes from the stored config, not the filename)."""
+    from ..core.dtypes import Policy
+    from ..utils import checkpoint as ckpt
+    from ..utils.config import ExperimentConfig
+
+    flat_p, flat_s, config, extra = ckpt.load_checkpoint(checkpoint_path)
+    input_dim = input_dim or extra.get("input_dim")
+    if input_dim is None:
+        raise ValueError("input_dim not in checkpoint extras; pass explicitly")
+    cfg = vae.VAEConfig(
+        input_dim=int(input_dim),
+        hidden_dim=config.hidden_dim,
+        latent_dim=config.latent_dim,
+        pad_features=config.pad_features,
+        policy=Policy(config.compute_dtype),
+    )
+    template_p, template_s = vae.init(cfg, jax.random.key(0))
+    params = ckpt.unflatten_into(template_p, flat_p)
+    stats = ckpt.unflatten_into(template_s, flat_s)
+    return Sampler(cfg=cfg, params=params, batch_stats=stats), config
+
+
+# ---------------------------------------------------------------------------
+# Essential-gene counting (extras.py:49-87) — vectorized
+# ---------------------------------------------------------------------------
+
+def count_essential_genes(
+    binary_generated_samples: np.ndarray,
+    essential_gene_positions: Dict[str, List[int]],
+) -> np.ndarray:
+    """Per-sample count of present essential genes.
+
+    A gene with one mapped position counts if that column is set; a gene with
+    several counts once if ANY is set (the reference's break semantics,
+    extras.py:78-83). Positions >= the sample width are ignored (extras.py:75).
+    Vectorized as a gather + logical_or.reduceat over gene segments.
+    """
+    samples = np.asarray(binary_generated_samples)
+    n, width = samples.shape
+    pos_flat: List[int] = []
+    seg_starts: List[int] = []
+    for _, positions in essential_gene_positions.items():
+        valid = [p for p in positions if p < width]
+        if not valid:
+            continue
+        seg_starts.append(len(pos_flat))
+        pos_flat.extend(valid)
+    if not pos_flat:
+        return np.zeros(n, dtype=int)
+    present = samples[:, np.asarray(pos_flat)] != 0
+    per_gene_any = np.logical_or.reduceat(present, np.asarray(seg_starts), axis=1)
+    return per_gene_any.sum(axis=1).astype(int)
+
+
+def write_samples_to_dataframe(
+    binary_generated_samples: np.ndarray,
+    all_genes: Sequence[str],
+    output_file: str,
+) -> None:
+    """Genes x samples CSV (extras.py:31-39): columns Sample_{i+1}, first
+    column 'Gene'."""
+    df = pd.DataFrame(np.asarray(binary_generated_samples), columns=list(all_genes))
+    df.index = [f"Sample_{i + 1}" for i in range(df.shape[0])]
+    df = df.transpose()
+    df.columns = [f"Sample_{i + 1}" for i in range(df.shape[1])]
+    df = df.reset_index()
+    df = df.rename(columns={"index": "Gene"})
+    df.to_csv(output_file, index=False)

@@ -1,0 +1,119 @@
+"""Sampling subsystem: threshold semantics, focused-mode quirks, vectorized
+essential-gene counting parity vs the reference Python loop."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from genome_minimizer_2_tpu.models import vae
+from genome_minimizer_2_tpu.sample import sampler as S
+
+D, H, L = 45, 12, 3
+
+
+@pytest.fixture(scope="module")
+def sampler():
+    cfg = vae.VAEConfig(input_dim=D, hidden_dim=H, latent_dim=L, pad_features=True)
+    params, stats = vae.init(cfg, jax.random.key(0))
+    return S.Sampler(cfg=cfg, params=params, batch_stats=stats, chunk_size=16)
+
+
+def test_sample_shapes_and_threshold(sampler):
+    binary, probs, z = sampler.sample(jax.random.key(1), 37, return_probs=True)
+    assert binary.shape == (37, D) and probs.shape == (37, D)
+    assert z.shape == (37, L)
+    assert binary.dtype == np.uint8
+    # strict > 0.5 threshold consistency (extras.py:201)
+    np.testing.assert_array_equal(binary, (probs > 0.5).astype(np.uint8))
+
+
+def test_sample_deterministic_and_chunk_invariant(sampler):
+    b1, _, z1 = sampler.sample(jax.random.key(2), 40)
+    b2, _, z2 = sampler.sample(jax.random.key(2), 40)
+    np.testing.assert_array_equal(b1, b2)
+    np.testing.assert_array_equal(z1, z2)
+    # chunking must not change results
+    big = S.Sampler(cfg=sampler.cfg, params=sampler.params,
+                    batch_stats=sampler.batch_stats, chunk_size=1000)
+    b3, _, z3 = big.sample(jax.random.key(2), 40)
+    np.testing.assert_array_equal(z1, z3)
+    np.testing.assert_array_equal(b1, b3)
+
+
+def test_focused_sampling_anchor_quirk(sampler):
+    """The reference computes 'latent distances' in output space, so the
+    closest probe to the min-gene probe is itself (main.py:359-361). With
+    noise_level=0 every focused sample then decodes the same z*."""
+    binary, probs, z = sampler.sample_focused(jax.random.key(3), 5, noise_level=0.0)
+    assert binary.shape == (5, D)
+    assert np.all(z == z[0])
+    assert np.all(binary == binary[0])
+
+
+def test_focused_noise_spreads(sampler):
+    _, _, z = sampler.sample_focused(jax.random.key(4), 50, noise_level=0.3)
+    spread = z.std(axis=0).mean()
+    assert 0.1 < spread < 0.6  # ~0.3
+
+
+def test_encode_means_shape(sampler):
+    x = np.random.RandomState(0).rand(23, D).round().astype(np.float32)
+    means = sampler.encode_means(x, batch_size=7)
+    assert means.shape == (23, L)
+
+
+def test_count_essential_genes_matches_reference_loop():
+    torch = pytest.importorskip("torch")  # extras imports torch
+    from tests._reference import import_reference_module
+
+    ref_extras = import_reference_module("src.genome_minimizer_2.utils.extras")
+    rng = np.random.RandomState(5)
+    samples = (rng.rand(30, 50) < 0.4).astype(float)
+    positions = {
+        "geneA": [3],
+        "geneB": [7, 8, 9],
+        "geneC": [49],
+        "geneD": [50, 51],      # all out of range -> ignored
+        "geneE": [10, 120],     # partially out of range
+        "geneF": [0],
+    }
+    ref = ref_extras.count_essential_genes(samples, positions)
+    ours = S.count_essential_genes(samples, positions)
+    np.testing.assert_array_equal(ours, ref)
+
+
+def test_count_essential_empty():
+    samples = np.zeros((4, 10))
+    assert S.count_essential_genes(samples, {}).tolist() == [0, 0, 0, 0]
+    assert S.count_essential_genes(samples, {"g": [20]}).tolist() == [0, 0, 0, 0]
+
+
+def test_write_samples_to_dataframe(tmp_path):
+    import pandas as pd
+
+    binary = np.array([[1, 0, 1], [0, 1, 1]], dtype=float)
+    out = tmp_path / "df.csv"
+    S.write_samples_to_dataframe(binary, ["gA", "gB", "gC"], str(out))
+    df = pd.read_csv(out)
+    assert list(df.columns) == ["Gene", "Sample_1", "Sample_2"]
+    assert df["Gene"].tolist() == ["gA", "gB", "gC"]
+    assert df["Sample_1"].tolist() == [1.0, 0.0, 1.0]
+    assert df["Sample_2"].tolist() == [0.0, 1.0, 1.0]
+
+
+def test_load_sampler_roundtrip(tmp_path):
+    from genome_minimizer_2_tpu.utils import checkpoint as C
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    cfg = vae.VAEConfig(input_dim=D, hidden_dim=H, latent_dim=L)
+    params, stats = vae.init(cfg, jax.random.key(7))
+    econf = ExperimentConfig(hidden_dim=H, latent_dim=L, trainer_version="v1")
+    path = tmp_path / "m.npz"
+    C.save_checkpoint(path, params, stats, econf, extra={"input_dim": D})
+    sampler, loaded_conf = S.load_sampler(str(path))
+    assert loaded_conf.trainer_version == "v1"
+    b1, _, _ = sampler.sample(jax.random.key(8), 9)
+    ref = S.Sampler(cfg=cfg, params=params, batch_stats=stats)
+    b2, _, _ = ref.sample(jax.random.key(8), 9)
+    np.testing.assert_array_equal(b1, b2)
