@@ -266,7 +266,7 @@ def add_config_arguments(parser: argparse.ArgumentParser):
                               dest="explore_latent_space")
 
     tpu_group = parser.add_argument_group("TPU Parameters")
-    tpu_group.add_argument("--seed", type=int, help="jax.random root seed")
+    # (--seed is owned by the host CLI, which defines it for every mode)
     tpu_group.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
                            help="Matmul compute dtype")
     tpu_group.add_argument("--data-parallel", type=int, help="Mesh data-axis size (0=all)")
