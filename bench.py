@@ -1,0 +1,195 @@
+#!/usr/bin/env python3
+"""Benchmark: VAE training examples/s on the flagship (v0-scale) workload.
+
+Prints ONE JSON line:
+  {"metric": "v0_train_examples_per_sec", "value": N, "unit": "examples/s",
+   "vs_baseline": N / baseline, ...}
+
+- Ours: the jitted whole-epoch training program (scan over batches, clip+Adam,
+  on-device loss accumulation) at the reference's v0 configuration — 55,039
+  gene columns, 1024 hidden, 64 latent, batch 32 — bfloat16 matmuls with f32
+  accumulation on the TPU chip (float32 on CPU).
+- Baseline: the reference implementation itself (its torch VAE + BCE+KL step,
+  /root/reference) on this host's CPU — the hardware the reference would
+  actually use here — measured in a subprocess (torch and the TPU-registered
+  JAX runtime deadlock when imported into one process) and cached in
+  .bench_baseline.json.
+
+Secondary metrics (in "extra"): genomes sampled/s (decode+threshold to host)
+and genomes minimized/s (interval-mask + compaction at E. coli scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+BASELINE_CACHE = REPO / ".bench_baseline.json"
+
+INPUT_DIM = 55039
+HIDDEN, LATENT = 1024, 64
+BATCH = 32
+N_TRAIN = 3488  # ~/2 of the real 7k train split; keeps the bench under ~2 min
+
+_TORCH_BASELINE_SCRIPT = r"""
+import json, sys, time
+sys.path.insert(0, "/root/reference")
+import torch
+torch.manual_seed(0)
+from src.genome_minimizer_2.training.model import VAE
+
+D, H, L, B = %(D)d, %(H)d, %(L)d, %(B)d
+model = VAE(D, H, L)
+opt = torch.optim.Adam(model.parameters(), lr=1e-3)
+x = (torch.rand(B, D) < 0.5).float()
+
+def step():
+    opt.zero_grad()
+    recon, mu, logvar = model(x)
+    bce = torch.nn.functional.binary_cross_entropy(recon, x, reduction="sum")
+    kl = -0.5 * torch.sum(1 + logvar - mu.pow(2) - logvar.exp())
+    loss = bce + 0.1 * kl
+    loss.backward()
+    torch.nn.utils.clip_grad_norm_(model.parameters(), max_norm=1.0)
+    opt.step()
+
+step()  # warmup
+n = 6
+t0 = time.perf_counter()
+for _ in range(n):
+    step()
+dt = time.perf_counter() - t0
+print(json.dumps({"examples_per_sec": n * B / dt, "sec_per_step": dt / n}))
+"""
+
+
+def measure_torch_baseline() -> dict:
+    if BASELINE_CACHE.exists():
+        return json.loads(BASELINE_CACHE.read_text())
+    script = _TORCH_BASELINE_SCRIPT % {"D": INPUT_DIM, "H": HIDDEN, "L": LATENT,
+                                       "B": BATCH}
+    try:
+        out = subprocess.run(
+            [sys.executable, "-c", script], capture_output=True, text=True,
+            timeout=900, cwd=str(REPO),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        result = json.loads(line)
+        result["hardware"] = "host CPU (torch, reference implementation)"
+        BASELINE_CACHE.write_text(json.dumps(result))
+        return result
+    except Exception as e:  # baseline unavailable: report ratio vs 0 -> None
+        return {"examples_per_sec": None, "error": str(e)}
+
+
+def bench_training(trainer, n_train: int) -> float:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    rng = np.random.RandomState(0)
+    x = (rng.rand(n_train, INPUT_DIM) < 0.5).astype(np.float32)
+    data = trainer.prepare_data(x)
+    state = trainer.init_state()
+    epoch_fn = trainer._get_epoch_fn(n_train, train=True)
+    e = jnp.asarray(0, jnp.int32)
+    lr = jnp.asarray(1e-3, jnp.float32)
+    state, sums = epoch_fn(state, data, e, lr)  # compile + warmup
+    jax.block_until_ready(sums["total"])
+    n_epochs = 2
+    t0 = time.perf_counter()
+    for _ in range(n_epochs):
+        state, sums = epoch_fn(state, data, e, lr)
+    jax.block_until_ready(sums["total"])
+    dt = time.perf_counter() - t0
+    return n_epochs * n_train / dt
+
+
+def bench_sampling(trainer, num_samples: int = 2048) -> float:
+    import jax
+
+    from genome_minimizer_2_tpu.sample.sampler import Sampler
+
+    state = trainer.init_state()
+    s = Sampler(cfg=trainer.model_cfg, params=state.params,
+                batch_stats=state.batch_stats, chunk_size=1024)
+    s.sample(jax.random.key(0), 1024)  # warmup/compile
+    t0 = time.perf_counter()
+    binary, _, _ = s.sample(jax.random.key(1), num_samples)
+    dt = time.perf_counter() - t0
+    assert binary.shape == (num_samples, INPUT_DIM)
+    return num_samples / dt
+
+
+def bench_minimizer(n_genomes: int = 32) -> float:
+    import numpy as np
+
+    from genome_minimizer_2_tpu.genome.genbank import GenBankRecord
+    from genome_minimizer_2_tpu.genome.minimizer import MinimizerEngine
+
+    rng = np.random.RandomState(0)
+    L = 4_600_000
+    n_genes = 4000
+    seq_bytes = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
+    starts = np.sort(rng.choice(L - 2000, size=n_genes, replace=False)).astype(np.int64)
+    ends = starts + rng.randint(300, 1500, size=n_genes)
+    names = np.array([f"g{i:05d}" for i in range(n_genes)], dtype=object)
+    record = GenBankRecord(name="bench", seq="", features=[])
+    engine = MinimizerEngine(record=record, gene_names=names, starts=starts,
+                             ends=np.minimum(ends, L), seq_bytes=seq_bytes)
+    keep_fracs = rng.rand(n_genomes)
+    gene_lists = [names[rng.rand(n_genes) < f].tolist() for f in keep_fracs]
+    engine.minimize(gene_lists[0])  # warmup
+    t0 = time.perf_counter()
+    for genes in gene_lists:
+        engine.minimize(genes)
+    dt = time.perf_counter() - t0
+    return n_genomes / dt
+
+
+def main():
+    t_start = time.perf_counter()
+    baseline = measure_torch_baseline()
+
+    import jax
+
+    from genome_minimizer_2_tpu.train import trainer as T
+    from genome_minimizer_2_tpu.utils.config import get_v0_config
+
+    backend = jax.default_backend()
+    config = get_v0_config()
+    config.n_epochs = 1
+    config.compute_dtype = "bfloat16" if backend != "cpu" else "float32"
+    config.print_every = 10**9
+    trainer = T.create_trainer("v0", config, input_dim=INPUT_DIM)
+
+    train_eps = bench_training(trainer, N_TRAIN)
+    sample_gps = bench_sampling(trainer)
+    minimize_gps = bench_minimizer()
+
+    base_eps = baseline.get("examples_per_sec")
+    result = {
+        "metric": "v0_train_examples_per_sec",
+        "value": round(train_eps, 1),
+        "unit": "examples/s",
+        "vs_baseline": round(train_eps / base_eps, 2) if base_eps else None,
+        "extra": {
+            "backend": backend,
+            "compute_dtype": config.compute_dtype,
+            "batch_size": BATCH,
+            "baseline_examples_per_sec": base_eps,
+            "genomes_sampled_per_sec": round(sample_gps, 1),
+            "genomes_minimized_per_sec": round(minimize_gps, 2),
+            "bench_wall_s": round(time.perf_counter() - t_start, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

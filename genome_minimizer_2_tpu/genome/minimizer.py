@@ -98,8 +98,72 @@ class MinimizerEngine:
         keep = ~self.removal_mask(needed_genes)
         return self.seq_bytes[keep].tobytes().decode("ascii")
 
-    def minimize_batch(self, gene_lists: Sequence[Sequence[str]]) -> List[str]:
+    def drop_masks(self, gene_lists: Sequence[Sequence[str]]) -> np.ndarray:
+        """(n_samples, F) uint8 — 1 where the feature's gene is NOT needed.
+
+        Vectorized name matching: feature names are factorized once; each
+        sample then does O(|needed|) dictionary lookups instead of O(F) set
+        probes.
+        """
+        uniq_names, feat_uid = np.unique(self.gene_names.astype(str),
+                                         return_inverse=True)
+        name_to_uid = {n: i for i, n in enumerate(uniq_names)}
+        n = len(gene_lists)
+        drop = np.empty((n, len(self.gene_names)), np.uint8)
+        for i, needed in enumerate(gene_lists):
+            present = np.zeros(len(uniq_names), bool)
+            for g in needed:
+                uid = name_to_uid.get(str(g))
+                if uid is not None:
+                    present[uid] = True
+            drop[i] = ~present[feat_uid]
+        return drop
+
+    def minimize_batch(
+        self, gene_lists: Sequence[Sequence[str]], use_native: bool | None = None
+    ) -> List[str]:
+        """Batch minimization; uses the native C++ core (multithreaded
+        interval fill + compaction) when available, numpy otherwise. Results
+        are byte-identical either way (tested)."""
+        from . import native
+
+        if use_native is None:
+            use_native = native.available() and len(gene_lists) > 1
+        if use_native:
+            seqs = native.minimize_batch(self.seq_bytes, self.starts, self.ends,
+                                         self.drop_masks(gene_lists))
+            return [s.decode("ascii") for s in seqs]
         return [self.minimize(genes) for genes in gene_lists]
+
+    def minimize_batch_to_fasta(
+        self,
+        gene_lists: Sequence[Sequence[str]],
+        path: str,
+        start_index: int = 0,
+        append: bool = False,
+        use_native: bool | None = None,
+    ) -> np.ndarray:
+        """Batch minimize + write FASTA records ('>{prefix}_{i+1}\\n{seq}\\n')
+        directly; returns minimized lengths. Native fast path streams from
+        C++; fallback writes from Python with identical bytes."""
+        from . import native
+
+        if use_native is None:
+            use_native = native.available() and len(gene_lists) > 1
+        if use_native:
+            return native.minimize_to_fasta(
+                self.seq_bytes, self.starts, self.ends,
+                self.drop_masks(gene_lists), path, SEQ_ID_PREFIX,
+                start_index=start_index, append=append)
+        lens = np.zeros(len(gene_lists), np.int64)
+        with open(path, "ab" if append else "wb") as out:
+            for i, genes in enumerate(gene_lists):
+                seq = self.minimize(genes)
+                lens[i] = len(seq)
+                out.write(f">{SEQ_ID_PREFIX}_{start_index + i + 1}\n".encode())
+                out.write(seq.encode("ascii"))
+                out.write(b"\n")
+        return lens
 
 
 class GenomeMinimiser:
@@ -323,29 +387,27 @@ def process_multiple_genomes_single_file(
     original_length = engine.original_length
     genome_number = len(all_lists)
 
-    sizes_mbp: List[float] = []
     tot_red_pct = 0.0
     total_length_bp = 0
 
+    if verbose:
+        for idx, needed in enumerate(all_lists):
+            print(f"[{idx + 1}/{genome_number}] genes present: {len(needed)}")
     with open(output_file, "w") as out:
         out.write(f"# Minimized genomes generated using model: {model_name}\n")
         out.write(f"# Total genomes: {genome_number}\n")
         out.write(f"# Generated on: {np.datetime64('now')}\n")
-        for idx, needed in enumerate(all_lists):
+    lens = engine.minimize_batch_to_fasta(all_lists, output_file, append=True)
+    sizes_mbp = [int(l) / 1e6 for l in lens]
+    for idx, genome_length in enumerate(lens):
+        if idx <= 9 or (idx + 1) % 100 == 0:
+            # reference quirk: the running averages only sample printed
+            # iterations (minimizer_2.py:482-486) — preserved
+            red_pct = (original_length - int(genome_length)) / original_length * 100.0
             if verbose:
-                print(f"[{idx + 1}/{genome_number}] genes present: {len(needed)}")
-            seq = engine.minimize(needed)
-            out.write(f">{SEQ_ID_PREFIX}_{idx + 1}\n{seq}\n")
-            genome_length = len(seq)
-            sizes_mbp.append(genome_length / 1e6)
-            if idx <= 9 or (idx + 1) % 100 == 0:
-                # reference quirk: the running averages only sample printed
-                # iterations (minimizer_2.py:482-486) — preserved
-                red_pct = (original_length - genome_length) / original_length * 100.0
-                if verbose:
-                    print(f"  → {genome_length:,} bp ({red_pct:.1f}% reduction)")
-                tot_red_pct += red_pct
-                total_length_bp += genome_length
+                print(f"  → {int(genome_length):,} bp ({red_pct:.1f}% reduction)")
+            tot_red_pct += red_pct
+            total_length_bp += int(genome_length)
 
     return {
         "genome_count": genome_number,
@@ -377,10 +439,10 @@ def process_multiple_genomes_multiple_files(
     total_length = 0
     if verbose:
         print(f"Writing {genome_number} individual FASTA files to: {output_dir}")
-    for idx, needed in enumerate(all_lists):
+    seqs = engine.minimize_batch(all_lists)
+    for idx, (needed, seq) in enumerate(zip(all_lists, seqs)):
         if verbose:
             print(f"[{idx + 1}/{genome_number}] genes present: {len(needed)}")
-        seq = engine.minimize(needed)
         genome_length = len(seq)
         red_pct = (original_length - genome_length) / original_length * 100.0
         filename = filename_template.format(model=model_name, idx=idx)
@@ -430,10 +492,7 @@ def process_sharded(
 
     shard_path = f"{output_file}.shard{pi:05d}"
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
-    with open(shard_path, "w") as out:
-        for idx in range(lo, hi):
-            seq = engine.minimize(all_lists[idx])
-            out.write(f">{SEQ_ID_PREFIX}_{idx + 1}\n{seq}\n")
+    engine.minimize_batch_to_fasta(all_lists[lo:hi], shard_path, start_index=lo)
 
     if not merge or pi != 0:
         return None

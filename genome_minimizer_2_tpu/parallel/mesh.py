@@ -67,10 +67,12 @@ def param_sharding(mesh: Mesh, path: str, shape: tuple[int, ...]) -> NamedShardi
     """
     if mesh.shape[MODEL_AXIS] == 1:
         return replicated(mesh)
-    if path == "encoder/0/w":  # (D, H): shard gene axis (rows)
+    # endswith: the same rules apply to optimizer moments (mu/nu carry the
+    # params tree structure under a chain/adam-state prefix)
+    if path.endswith("encoder/0/w"):  # (D, H): shard gene axis (rows)
         return NamedSharding(mesh, P(MODEL_AXIS, None))
-    if path == "decoder/3/w":  # (H, D): shard gene axis (cols)
+    if path.endswith("decoder/3/w"):  # (H, D): shard gene axis (cols)
         return NamedSharding(mesh, P(None, MODEL_AXIS))
-    if path == "decoder/3/b":  # (D,)
+    if path.endswith("decoder/3/b"):  # (D,)
         return NamedSharding(mesh, P(MODEL_AXIS))
     return replicated(mesh)

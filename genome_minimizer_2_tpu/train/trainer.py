@@ -50,6 +50,16 @@ from ..utils.config import ExperimentConfig
 logger = logging.getLogger(__name__)
 
 
+def _path_str(entry) -> str:
+    if hasattr(entry, "key"):
+        return str(entry.key)
+    if hasattr(entry, "idx"):
+        return str(entry.idx)
+    if hasattr(entry, "name"):
+        return str(entry.name)
+    return str(entry)
+
+
 class TrainState(NamedTuple):
     params: Any
     batch_stats: Any
@@ -226,6 +236,33 @@ class VAETrainer:
         jitted = jax.jit(epoch_fn, donate_argnums=(0,))
         self._epoch_fns[key] = jitted
         return jitted
+
+    # -- sharding ----------------------------------------------------------
+
+    def shard_state(self, state: TrainState) -> TrainState:
+        """Place state on the mesh: params/opt-state per the TP rules in
+        parallel.mesh.param_sharding (gene axis of the first/last wide layers
+        over 'model'), everything else replicated."""
+        if self.mesh is None:
+            return state
+        from ..parallel.mesh import param_sharding, replicated
+
+        def put_tree(tree):
+            def put(path, leaf):
+                pstr = "/".join(_path_str(p) for p in path)
+                return jax.device_put(
+                    leaf, param_sharding(self.mesh, pstr, np.shape(leaf)))
+            return jax.tree_util.tree_map_with_path(put, tree)
+
+        rep = replicated(self.mesh)
+        return TrainState(
+            params=put_tree(state.params),
+            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep),
+                                     state.batch_stats),
+            opt_state=put_tree(state.opt_state),
+            counter=jax.device_put(state.counter, rep),
+            rng=jax.device_put(state.rng, rep),
+        )
 
     # -- public API --------------------------------------------------------
 

@@ -1,0 +1,153 @@
+// gm2min — native batch genome-minimization core.
+//
+// TPU-native framework's host-side sequence engine: the per-sample work the
+// reference does with a Python set of 4.6M base positions and a per-base
+// loop (/root/reference/src/genome_minimizer_2/minimizer/minimizer_2.py:68-101)
+// is done here as interval fills over a removal bitmap + a single compaction
+// pass, multithreaded over samples. Gene-name -> feature matching stays in
+// Python (tiny); this core receives a per-sample drop mask over features.
+//
+// Build: g++ -O3 -shared -fPIC -std=c++17 -pthread gm2min.cpp -o libgm2min.so
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+// Fill `removed` with 1 over the union of dropped features' [start, end).
+void build_removal(const int64_t* starts, const int64_t* ends, int64_t F,
+                   const uint8_t* drop, int64_t L, uint8_t* removed) {
+  std::memset(removed, 0, static_cast<size_t>(L));
+  for (int64_t f = 0; f < F; ++f) {
+    if (!drop[f]) continue;
+    int64_t s = starts[f] < 0 ? 0 : starts[f];
+    int64_t e = ends[f] > L ? L : ends[f];
+    if (e > s) std::memset(removed + s, 1, static_cast<size_t>(e - s));
+  }
+}
+
+// Compact seq into out, skipping removed bases. Returns output length.
+int64_t compact(const uint8_t* seq, const uint8_t* removed, int64_t L,
+                uint8_t* out) {
+  int64_t n = 0;
+  int64_t i = 0;
+  while (i < L) {
+    // find the next removed run boundary; copy kept runs with memcpy
+    int64_t run_start = i;
+    while (i < L && !removed[i]) ++i;
+    if (i > run_start) {
+      std::memcpy(out + n, seq + run_start, static_cast<size_t>(i - run_start));
+      n += i - run_start;
+    }
+    while (i < L && removed[i]) ++i;
+  }
+  return n;
+}
+
+struct BatchArgs {
+  const uint8_t* seq;
+  int64_t L;
+  const int64_t* starts;
+  const int64_t* ends;
+  int64_t F;
+  const uint8_t* drop;  // n_samples x F
+  int64_t n_samples;
+  uint8_t* out;         // n_samples x L
+  int64_t* out_lens;
+};
+
+void worker(const BatchArgs& a, std::atomic<int64_t>* next,
+            std::vector<uint8_t>* scratch) {
+  scratch->resize(static_cast<size_t>(a.L));
+  for (;;) {
+    int64_t i = next->fetch_add(1);
+    if (i >= a.n_samples) return;
+    build_removal(a.starts, a.ends, a.F, a.drop + i * a.F, a.L,
+                  scratch->data());
+    a.out_lens[i] =
+        compact(a.seq, scratch->data(), a.L, a.out + i * a.L);
+  }
+}
+
+int resolve_threads(int n_threads) {
+  if (n_threads > 0) return n_threads;
+  unsigned hw = std::thread::hardware_concurrency();
+  return hw ? static_cast<int>(hw) : 2;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Minimize a batch into a dense (n_samples, L) output buffer; out_lens[i]
+// receives each minimized length. Returns 0 on success.
+int gm2_minimize_batch(const uint8_t* seq, int64_t L, const int64_t* starts,
+                       const int64_t* ends, int64_t F, const uint8_t* drop,
+                       int64_t n_samples, uint8_t* out, int64_t* out_lens,
+                       int n_threads) {
+  if (!seq || !out || !out_lens || L < 0 || F < 0 || n_samples < 0) return 1;
+  BatchArgs a{seq, L, starts, ends, F, drop, n_samples, out, out_lens};
+  int nt = resolve_threads(n_threads);
+  if (nt > n_samples) nt = n_samples > 0 ? static_cast<int>(n_samples) : 1;
+  std::atomic<int64_t> next{0};
+  std::vector<std::thread> threads;
+  std::vector<std::vector<uint8_t>> scratches(static_cast<size_t>(nt));
+  for (int t = 0; t < nt; ++t)
+    threads.emplace_back(worker, std::cref(a), &next, &scratches[t]);
+  for (auto& th : threads) th.join();
+  return 0;
+}
+
+// Minimize a batch and append FASTA records directly to `path`:
+//   >{header_prefix}_{start_index + i + 1}\n{seq}\n
+// Sequences are computed in parallel (bounded-memory tiles) and written in
+// order; out_lens (may be null) receives minimized lengths. Returns 0 on
+// success.
+int gm2_minimize_to_fasta(const uint8_t* seq, int64_t L, const int64_t* starts,
+                          const int64_t* ends, int64_t F, const uint8_t* drop,
+                          int64_t n_samples, const char* path,
+                          const char* header_prefix, int64_t start_index,
+                          int append, int n_threads, int64_t* out_lens) {
+  if (!path || !header_prefix) return 1;
+  std::FILE* fp = std::fopen(path, append ? "ab" : "wb");
+  if (!fp) return 2;
+
+  int nt = resolve_threads(n_threads);
+  int64_t tile = nt * 4 > 64 ? 64 : nt * 4;  // samples buffered per write pass
+  if (tile < 1) tile = 1;
+  std::vector<uint8_t> out_buf;
+  std::vector<int64_t> lens;
+  int rc = 0;
+  for (int64_t lo = 0; lo < n_samples && rc == 0; lo += tile) {
+    int64_t hi = lo + tile < n_samples ? lo + tile : n_samples;
+    int64_t cnt = hi - lo;
+    out_buf.resize(static_cast<size_t>(cnt * L));
+    lens.resize(static_cast<size_t>(cnt));
+    rc = gm2_minimize_batch(seq, L, starts, ends, F, drop + lo * F, cnt,
+                            out_buf.data(), lens.data(), n_threads);
+    if (rc == 0 && out_lens)
+      std::memcpy(out_lens + lo, lens.data(),
+                  static_cast<size_t>(cnt) * sizeof(int64_t));
+    for (int64_t i = 0; i < cnt && rc == 0; ++i) {
+      std::string header = ">" + std::string(header_prefix) + "_" +
+                           std::to_string(start_index + lo + i + 1) + "\n";
+      if (std::fwrite(header.data(), 1, header.size(), fp) != header.size())
+        rc = 3;
+      if (rc == 0 &&
+          std::fwrite(out_buf.data() + i * L, 1,
+                      static_cast<size_t>(lens[i]),
+                      fp) != static_cast<size_t>(lens[i]))
+        rc = 3;
+      if (rc == 0 && std::fwrite("\n", 1, 1, fp) != 1) rc = 3;
+    }
+  }
+  if (std::fclose(fp) != 0 && rc == 0) rc = 4;
+  return rc;
+}
+
+}  // extern "C"
