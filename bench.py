@@ -100,12 +100,14 @@ def bench_training(trainer, n_train: int) -> float:
     e = jnp.asarray(0, jnp.int32)
     lr = jnp.asarray(1e-3, jnp.float32)
     state, sums = epoch_fn(state, data, e, lr)  # compile + warmup
-    jax.block_until_ready(sums["total"])
-    n_epochs = 2
+    # NB: synchronize via host readback — on the tunneled TPU backend used
+    # here, block_until_ready returns before execution completes
+    float(sums["total"])
+    n_epochs = 4
     t0 = time.perf_counter()
     for _ in range(n_epochs):
         state, sums = epoch_fn(state, data, e, lr)
-    jax.block_until_ready(sums["total"])
+    float(sums["total"])  # forces the whole dependent chain to finish
     dt = time.perf_counter() - t0
     return n_epochs * n_train / dt
 

@@ -234,6 +234,43 @@ class GenomeMinimiser:
             f.write(self.reduced_genome_str)
 
 
+def plot_minimized_distribution(minimised_sizes_mbp, model_name: str,
+                                output_dir: str):
+    """Histogram of minimized genome sizes (minimizer_2.py:212-252); skipped
+    below 100 data points like the reference."""
+    if len(minimised_sizes_mbp) < 100:
+        print(f"Not enough data points ({len(minimised_sizes_mbp)}) to create "
+              "meaningful plot. Need at least 100.")
+        return None
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    sizes = np.asarray(minimised_sizes_mbp)
+    median = float(np.median(sizes))
+    plt.figure(figsize=(4, 4))
+    plt.hist(sizes, bins=10, color="dodgerblue")
+    plt.xlabel("Genome size (Mbp)")
+    plt.ylabel("Frequency")
+    plt.title("Distribution of Minimized Genome Sizes")
+    plt.axvline(median, color="b", linestyle="dashed", linewidth=2)
+    handles = [
+        plt.Line2D([], [], color="b", linestyle="dashed", linewidth=2,
+                   label=f"Median: {median:.2f}"),
+        plt.Line2D([], [], color="black", linewidth=2,
+                   label=f"Min: {sizes.min():.2f}"),
+        plt.Line2D([], [], color="black", linewidth=2,
+                   label=f"Max: {sizes.max():.2f}"),
+    ]
+    plt.legend(handles=handles)
+    os.makedirs(output_dir, exist_ok=True)
+    out = os.path.join(output_dir,
+                       f"minimised_genomes_distribution_{model_name}.pdf")
+    plt.savefig(out, format="pdf", bbox_inches="tight")
+    plt.close()
+    return out
+
+
 # ---------------------------------------------------------------------------
 # Duplicate analysis + summary (minimizer_2.py:273-444)
 # ---------------------------------------------------------------------------

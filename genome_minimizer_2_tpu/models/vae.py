@@ -217,17 +217,27 @@ def encode(cfg: VAEConfig, params: Params, stats: BatchStats, x, train: bool):
     return mean, logvar, new_stats
 
 
-def decode_logits(cfg: VAEConfig, params: Params, stats: BatchStats, z, train: bool):
-    """z (N, latent_dim) -> (logits (N, padded_dim), new_decoder_stats).
+def decode_hidden(cfg: VAEConfig, params: Params, stats: BatchStats, z, train: bool):
+    """Decoder hidden stack only: z -> (h (N, hidden_dim), new_stats).
 
-    Logits are pre-sigmoid; apply jax.nn.sigmoid for probabilities, or
-    threshold at 0 for the reference's `sigmoid(x) > 0.5` binarization.
+    Split out so fused output-layer kernels (ops/pallas_kernels.py) can
+    consume the hidden activations directly.
     """
     new_stats = []
     h = z
     for layer, bn_s in zip(params["decoder"][:-1], stats["decoder"]):
         h, s = _mlp_block(h, layer, bn_s, train, cfg.policy)
         new_stats.append(s)
+    return h, new_stats
+
+
+def decode_logits(cfg: VAEConfig, params: Params, stats: BatchStats, z, train: bool):
+    """z (N, latent_dim) -> (logits (N, padded_dim), new_decoder_stats).
+
+    Logits are pre-sigmoid; apply jax.nn.sigmoid for probabilities, or
+    threshold at 0 for the reference's `sigmoid(x) > 0.5` binarization.
+    """
+    h, new_stats = decode_hidden(cfg, params, stats, z, train)
     out = params["decoder"][-1]
     logits = _matmul(h, out["w"], cfg.policy) + out["b"]
     return logits, new_stats

@@ -44,6 +44,17 @@ class Sampler:
         cfg = self.cfg
 
         @jax.jit
+        def _decode_packed(params, stats, z):
+            # Fused output matmul + threshold + bitpack (Pallas on TPU):
+            # 8x smaller device->host transfer for sampled genomes.
+            from ..ops import pallas_kernels as PK
+
+            h, _ = vae.decode_hidden(cfg, params, stats, z, train=False)
+            out = params["decoder"][-1]
+            return PK.decode_threshold_pack(h, out["w"], out["b"],
+                                            compute_dtype=cfg.policy.compute_dtype)
+
+        @jax.jit
         def _decode_binary(params, stats, z):
             logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
             return (logits > 0.0).astype(jnp.uint8)  # sigmoid(x) > 0.5
@@ -58,6 +69,7 @@ class Sampler:
             mean, _, _ = vae.encode(cfg, params, stats, x, train=False)
             return mean
 
+        self._decode_packed = _decode_packed
         self._decode_binary = _decode_binary
         self._decode_probs = _decode_probs
         self._encode_mean = _encode_mean
@@ -68,11 +80,12 @@ class Sampler:
         for lo in range(0, n, self.chunk_size):
             yield lo, min(lo + self.chunk_size, n)
 
-    def _decode_chunked(self, z: np.ndarray, fn) -> np.ndarray:
+    def _decode_chunked(self, z: np.ndarray, fn, trim: int | None = None) -> np.ndarray:
         """Run fn over fixed-size chunks (padding the tail so only one program
-        is compiled), trimming padding and the feature axis."""
+        is compiled), trimming padding and the feature axis to ``trim``
+        columns (default: input_dim)."""
         n = z.shape[0]
-        D = self.cfg.input_dim
+        D = self.cfg.input_dim if trim is None else trim
         outs = []
         for lo, hi in self._chunks(n):
             chunk = z[lo:hi]
@@ -86,6 +99,14 @@ class Sampler:
             outs.append(out[:, :D])
         return np.concatenate(outs, axis=0)
 
+    def decode_binary(self, z: np.ndarray) -> np.ndarray:
+        """Binary masks for given latents via the packed fast path."""
+        from ..ops.pallas_kernels import unpack_bits
+
+        D = self.cfg.input_dim
+        packed = self._decode_chunked(z, self._decode_packed, trim=(D + 7) // 8)
+        return unpack_bits(packed, D)
+
     # -- public API ---------------------------------------------------------
 
     def sample(
@@ -97,7 +118,7 @@ class Sampler:
         """
         z = np.asarray(
             jax.random.normal(key, (num_samples, self.cfg.latent_dim), jnp.float32))
-        binary = self._decode_chunked(z, self._decode_binary)
+        binary = self.decode_binary(z)
         probs = self._decode_chunked(z, self._decode_probs) if return_probs else None
         return binary, probs, z
 
@@ -126,7 +147,7 @@ class Sampler:
         noise = np.asarray(jax.random.normal(
             noise_key, (num_samples, self.cfg.latent_dim), jnp.float32)) * noise_level
         z = z_of_interest + noise
-        binary = self._decode_chunked(z, self._decode_binary)
+        binary = self.decode_binary(z)
         probs = self._decode_chunked(z, self._decode_probs)
         return binary, probs, z
 

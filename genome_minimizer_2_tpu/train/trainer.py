@@ -280,8 +280,17 @@ class VAETrainer:
         val_x: np.ndarray | jax.Array,
         state: TrainState | None = None,
         progress_cb=None,
+        start_epoch: int = 0,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 0,
     ) -> Tuple[List[float], List[float], int]:
-        """Main training loop (reference parity: trainer.py:158-189)."""
+        """Main training loop (reference parity: trainer.py:158-189).
+
+        Resume support (absent in the reference): pass a state loaded via
+        utils.checkpoint.load_train_state plus its ``start_epoch``; with
+        ``checkpoint_every`` > 0 a full train-state checkpoint is written to
+        ``checkpoint_path`` every N epochs — restart-and-resume is bit-exact.
+        """
         cfg = self.config
         if state is None:
             state = self.init_state()
@@ -294,9 +303,9 @@ class VAETrainer:
         train_epoch = self._get_epoch_fn(n_train, train=True)
         val_epoch = self._get_epoch_fn(n_val, train=False)
 
-        epoch = 0
+        epoch = start_epoch
         t0 = time.perf_counter()
-        for epoch in range(cfg.n_epochs):
+        for epoch in range(start_epoch, cfg.n_epochs):
             lr = step_lr(cfg.learning_rate, cfg.scheduler_step_size,
                          cfg.scheduler_gamma, epoch)
             e = jnp.asarray(epoch, jnp.int32)
@@ -321,12 +330,43 @@ class VAETrainer:
             if progress_cb is not None:
                 progress_cb(epoch, tr, vl)
 
+            if checkpoint_every and checkpoint_path and \
+                    (epoch + 1) % checkpoint_every == 0:
+                from ..utils import checkpoint as ckpt
+
+                # checkpoint_path may contain '{epoch}' to keep snapshots
+                ckpt.save_train_state(
+                    checkpoint_path.format(epoch=epoch + 1), state, cfg, epoch + 1,
+                    extra={
+                        "early_best": self.early_stopping.best_loss,
+                        "early_no_improve": self.early_stopping.epochs_no_improve,
+                        "train_losses": self.train_losses,
+                        "val_losses": self.val_losses,
+                    })
+
             if self.early_stopping.should_stop(vl["total"]):
                 print(f"Early stopping triggered after {epoch + 1} epochs")
                 break
 
         self.final_state = state
         return (self.train_losses["total"], self.val_losses["total"], epoch + 1)
+
+    def resume_from(self, checkpoint_path: str):
+        """Load a mid-training checkpoint; returns (state, start_epoch).
+
+        Restores optimizer moments, the cosine-beta counter, the PRNG key,
+        early-stopping state and loss histories — continuing is bit-exact.
+        """
+        from ..utils import checkpoint as ckpt
+
+        state, start_epoch, extra = ckpt.load_train_state(checkpoint_path, self)
+        self.early_stopping.best_loss = extra.get("early_best", float("inf"))
+        self.early_stopping.epochs_no_improve = extra.get("early_no_improve", 0)
+        for k, hist in extra.get("train_losses", {}).items():
+            self.train_losses[k] = list(hist)
+        for k, hist in extra.get("val_losses", {}).items():
+            self.val_losses[k] = list(hist)
+        return state, start_epoch
 
 
 # ---------------------------------------------------------------------------
@@ -351,6 +391,43 @@ def create_trainer(
     )
     spec = L.spec_for_preset(version, config)
     return VAETrainer(model_cfg, spec, config, mesh=mesh)
+
+
+def _preset_train(version: str, train_x, val_x, *, input_dim: int | None = None,
+                  mesh: Mesh | None = None, **overrides):
+    from ..utils.config import get_preset_config
+
+    config = get_preset_config(version)
+    for k, v in overrides.items():
+        setattr(config, k, v)
+    dim = input_dim if input_dim is not None else np.shape(train_x)[1]
+    trainer = create_trainer(version, config, dim, mesh=mesh)
+    return trainer.train(train_x, val_x)
+
+
+def v0(train_x, val_x, **overrides):
+    """Train with the v0 loss bundle (reference API parity: trainer.py:261-266).
+
+    Takes (train, val) arrays instead of torch loaders; keyword overrides are
+    applied to the preset ExperimentConfig. Returns (train_losses,
+    val_losses, epochs_run).
+    """
+    return _preset_train("v0", train_x, val_x, **overrides)
+
+
+def v1(train_x, val_x, **overrides):
+    """v1 bundle: + gene abundance + L1 (trainer.py:269-274)."""
+    return _preset_train("v1", train_x, val_x, **overrides)
+
+
+def v2(train_x, val_x, **overrides):
+    """v2 bundle: cosine KL annealing (trainer.py:277-282)."""
+    return _preset_train("v2", train_x, val_x, **overrides)
+
+
+def v3(train_x, val_x, **overrides):
+    """v3 bundle: weighted abundance, T=50 cosine (trainer.py:285-290)."""
+    return _preset_train("v3", train_x, val_x, **overrides)
 
 
 class VAETrainerBuilder:

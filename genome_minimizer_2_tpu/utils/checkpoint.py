@@ -84,6 +84,71 @@ def load_checkpoint(path: str | Path) -> Tuple[Dict, Dict, ExperimentConfig, Dic
     return params, stats, config, meta.get("extra", {})
 
 
+def save_train_state(
+    path: str | Path,
+    state,  # train.trainer.TrainState
+    config: ExperimentConfig,
+    epoch: int,
+    extra: Dict[str, Any] | None = None,
+) -> None:
+    """Full mid-training checkpoint: params + BN stats + optimizer state +
+    the cosine-beta counter + PRNG key — everything needed for bit-exact
+    resume (the reference is save-only, SURVEY.md §5)."""
+    if jax.process_index() != 0:
+        return
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    arrays = {}
+    arrays.update(_flatten(state.params, "params/"))
+    arrays.update(_flatten(state.batch_stats, "batch_stats/"))
+    arrays.update(_flatten(state.opt_state, "opt_state/"))
+    arrays["counter"] = np.asarray(state.counter)
+    arrays["rng_key_data"] = np.asarray(jax.random.key_data(state.rng))
+    meta = {"config": config.to_dict(), "extra": dict(extra or {}, epoch=epoch)}
+    arrays[_CONFIG_KEY] = np.frombuffer(
+        json.dumps(meta).encode("utf-8"), dtype=np.uint8)
+    np.savez(path, **arrays)
+
+
+def load_train_state(path: str | Path, trainer):
+    """Rebuild a TrainState for ``trainer`` from a save_train_state file.
+
+    Returns (state, epoch, extra).
+    """
+    from ..train.trainer import TrainState
+
+    with np.load(path, allow_pickle=False) as z:
+        arrays = {k: z[k] for k in z.files}
+    meta = json.loads(bytes(arrays.pop(_CONFIG_KEY)).decode("utf-8"))
+    template = trainer.init_state()
+    params = unflatten_into(
+        template.params,
+        {k[len("params/"):]: v for k, v in arrays.items() if k.startswith("params/")})
+    stats = unflatten_into(
+        template.batch_stats,
+        {k[len("batch_stats/"):]: v for k, v in arrays.items()
+         if k.startswith("batch_stats/")})
+    opt_state = unflatten_into(
+        template.opt_state,
+        {k[len("opt_state/"):]: v for k, v in arrays.items()
+         if k.startswith("opt_state/")})
+    state = TrainState(
+        params=jax.tree.map(jnp_asarray, params),
+        batch_stats=jax.tree.map(jnp_asarray, stats),
+        opt_state=jax.tree.map(jnp_asarray, opt_state),
+        counter=jnp_asarray(arrays["counter"]),
+        rng=jax.random.wrap_key_data(jnp_asarray(arrays["rng_key_data"])),
+    )
+    extra = meta.get("extra", {})
+    return state, int(extra.get("epoch", 0)), extra
+
+
+def jnp_asarray(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
 def unflatten_into(template: Any, flat: Dict[str, np.ndarray]) -> Any:
     """Pour a flat {path: array} dict into a pytree with template's structure."""
     leaves_with_paths, treedef = jax.tree_util.tree_flatten_with_path(template)
