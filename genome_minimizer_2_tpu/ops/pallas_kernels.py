@@ -118,8 +118,20 @@ def _pack_bits_2d(bits):
 def _dtp_kernel(h_ref, w_ref, b_ref, o_ref):
     logits = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b_ref[:].astype(jnp.float32)
-    bits = (logits > 0.0)
-    o_ref[:] = _pack_bits_2d(bits)
+    bits = (logits > 0.0).astype(jnp.float32)
+    # Pack 8 lanes -> 1 byte via an MXU matmul with an iota-built packing
+    # matrix (Mosaic cannot reshape-split the lane dimension): P[j, c] = 2^k
+    # where j = 8c + k, else 0. Byte values <= 255 are exact in f32.
+    n = bits.shape[1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (n, n // 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (n, n // 8), 1)
+    shift = row - col * 8
+    in_byte = (shift >= 0) & (shift < 8)
+    weights = jnp.left_shift(1, jnp.clip(shift, 0, 7)).astype(jnp.float32)
+    pack = jnp.where(in_byte, weights, 0.0)
+    packed = jnp.dot(bits, pack, preferred_element_type=jnp.float32)
+    # Mosaic lacks f32->uint8 casts; emit int32, downcast in XLA outside
+    o_ref[:] = packed.astype(jnp.int32)
 
 
 def decode_threshold_pack_reference(h, w, b, compute_dtype=jnp.bfloat16):
@@ -154,7 +166,7 @@ def decode_threshold_pack(h, w, b, block_m: int = 128, block_n: int = 1024,
     grid = (Mp // block_m, Np // block_n)
     out = pl.pallas_call(
         _dtp_kernel,
-        out_shape=jax.ShapeDtypeStruct((Mp, Np // 8), jnp.uint8),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np // 8), jnp.int32),
         grid=grid,
         in_specs=[
             pl.BlockSpec((block_m, K), lambda i, j: (i, 0),
@@ -167,7 +179,7 @@ def decode_threshold_pack(h, w, b, block_m: int = 128, block_n: int = 1024,
         out_specs=pl.BlockSpec((block_m, block_n // 8), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
     )(hb, wb, bb)
-    return out[:M, : round_up(N, 8) // 8]
+    return out[:M, : round_up(N, 8) // 8].astype(jnp.uint8)
 
 
 def unpack_bits(packed: np.ndarray, n: int) -> np.ndarray:

@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""TPU smoke-check: bit/numeric comparison of the compiled Pallas kernels
+against their jnp reference implementations ON THE REAL CHIP, plus a packed
+vs dense sampling identity check. (The pytest suite runs CPU-only, where the
+kernels fall back to the references — this script is the hardware check.)
+
+Run: python tools/tpu_smoke.py
+"""
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from genome_minimizer_2_tpu.models import vae
+    from genome_minimizer_2_tpu.ops import pallas_kernels as PK
+    from genome_minimizer_2_tpu.sample.sampler import Sampler
+    from genome_minimizer_2_tpu.core.dtypes import Policy
+
+    backend = jax.default_backend()
+    print(f"backend: {backend}, devices: {jax.devices()}")
+    assert backend == "tpu", "run this on the TPU host"
+
+    rng = np.random.RandomState(0)
+    failures = 0
+
+    # --- matmul_bias_act vs reference (bf16) ---------------------------
+    x = rng.randn(200, 256).astype(np.float32)
+    w = rng.randn(256, 1000).astype(np.float32)
+    b = rng.randn(1000).astype(np.float32)
+    ours = np.asarray(PK.matmul_bias_act(jnp.asarray(x), jnp.asarray(w),
+                                         jnp.asarray(b), relu=True))
+    ref = np.asarray(PK.matmul_bias_act_reference(
+        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), relu=True))
+    err = np.abs(ours - ref).max()
+    ok = err <= 1e-2 * max(1.0, np.abs(ref).max())
+    print(f"matmul_bias_act: max|diff|={err:.3e} {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # --- decode_threshold_pack vs reference ----------------------------
+    h = rng.randn(300, 512).astype(np.float32)
+    w2 = (rng.randn(512, 55039).astype(np.float32) * 0.05)
+    b2 = rng.randn(55039).astype(np.float32) * 0.1
+    packed = np.asarray(PK.decode_threshold_pack(
+        jnp.asarray(h), jnp.asarray(w2), jnp.asarray(b2)))
+    ref_packed = np.asarray(PK.decode_threshold_pack_reference(
+        jnp.asarray(h), jnp.asarray(w2), jnp.asarray(b2)))[:, :packed.shape[1]]
+    mismatch = int((packed != ref_packed).sum())
+    # bf16 rounding near the threshold can flip a handful of borderline bits
+    total_bits = packed.size * 8
+    ok = mismatch <= total_bits * 1e-5
+    print(f"decode_threshold_pack: {mismatch}/{packed.size} bytes differ "
+          f"{'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # --- sampler packed path vs dense logits path ----------------------
+    cfg = vae.VAEConfig(input_dim=55039, hidden_dim=512, latent_dim=32,
+                        policy=Policy("bfloat16"))
+    params, stats = vae.init(cfg, jax.random.key(0))
+    s = Sampler(cfg=cfg, params=params, batch_stats=stats, chunk_size=256)
+    z = np.asarray(jax.random.normal(jax.random.key(1), (256, 32)))
+    packed_bits = s.decode_binary(z)
+    dense = s._decode_chunked(z, s._decode_binary)
+    mism = int((packed_bits != dense).sum())
+    ok = mism <= packed_bits.size * 1e-5
+    print(f"sampler packed vs dense: {mism}/{packed_bits.size} mismatched bits "
+          f"{'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    print("SMOKE", "PASS" if failures == 0 else f"FAIL ({failures})")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
