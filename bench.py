@@ -87,6 +87,21 @@ def measure_torch_baseline() -> dict:
         return {"examples_per_sec": None, "error": str(e)}
 
 
+def _make_trainer(batch_size: int):
+    import jax
+
+    from genome_minimizer_2_tpu.train import trainer as T
+    from genome_minimizer_2_tpu.utils.config import get_v0_config
+
+    backend = jax.default_backend()
+    config = get_v0_config()
+    config.n_epochs = 1
+    config.batch_size = batch_size
+    config.compute_dtype = "bfloat16" if backend != "cpu" else "float32"
+    config.print_every = 10**9
+    return T.create_trainer("v0", config, input_dim=INPUT_DIM)
+
+
 def bench_training(trainer, n_train: int) -> float:
     import jax
     import jax.numpy as jnp
@@ -160,17 +175,12 @@ def main():
 
     import jax
 
-    from genome_minimizer_2_tpu.train import trainer as T
-    from genome_minimizer_2_tpu.utils.config import get_v0_config
-
     backend = jax.default_backend()
-    config = get_v0_config()
-    config.n_epochs = 1
-    config.compute_dtype = "bfloat16" if backend != "cpu" else "float32"
-    config.print_every = 10**9
-    trainer = T.create_trainer("v0", config, input_dim=INPUT_DIM)
-
+    trainer = _make_trainer(BATCH)
     train_eps = bench_training(trainer, N_TRAIN)
+    # same model/optimizer at batch 256: shows the throughput headroom once
+    # the per-step optimizer/weight traffic amortizes over a bigger batch
+    train_eps_256 = bench_training(_make_trainer(256), N_TRAIN)
     sample_gps = bench_sampling(trainer)
     minimize_gps = bench_minimizer()
 
@@ -182,8 +192,9 @@ def main():
         "vs_baseline": round(train_eps / base_eps, 2) if base_eps else None,
         "extra": {
             "backend": backend,
-            "compute_dtype": config.compute_dtype,
+            "compute_dtype": trainer.config.compute_dtype,
             "batch_size": BATCH,
+            "train_examples_per_sec_bs256": round(train_eps_256, 1),
             "baseline_examples_per_sec": base_eps,
             "genomes_sampled_per_sec": round(sample_gps, 1),
             "genomes_minimized_per_sec": round(minimize_gps, 2),

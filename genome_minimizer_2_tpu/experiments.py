@@ -100,7 +100,19 @@ class IntegratedExperimentRunner:
         m, sp = self._matrix, self._splits
         train_x = m.data[sp.train_idx]
         val_x = m.data[sp.val_idx]
-        tl, vl, epochs = self.trainer.train(train_x, val_x)
+        state, start_epoch = None, 0
+        if self.config.resume_from:
+            state, start_epoch = self.trainer.resume_from(self.config.resume_from)
+            self.logger.info("Resumed from %s at epoch %d",
+                             self.config.resume_from, start_epoch)
+        ckpt_path = os.path.join(self.model_dir, "train_state_{epoch}.npz") \
+            if self.config.checkpoint_every else None
+        from .utils.profiling import trace
+        with trace(self.config.profile_dir or None):
+            tl, vl, epochs = self.trainer.train(
+                train_x, val_x, state=state, start_epoch=start_epoch,
+                checkpoint_path=ckpt_path,
+                checkpoint_every=self.config.checkpoint_every)
         self.results["train_loss_vals"] = tl
         self.results["val_loss_vals"] = vl
         self.results["epochs_trained"] = epochs

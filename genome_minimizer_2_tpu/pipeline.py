@@ -1,0 +1,141 @@
+"""Streaming sample -> convert -> minimize pipeline.
+
+The reference runs its three generation stages as separate CLI invocations
+that materialize full dense intermediates on disk (binary_samples.npy — at
+100k samples x 55k genes that is ~44 GB as float64). This module fuses the
+stages into a bounded-memory stream, per BASELINE.json config 5 ("pod-scale
+batch design"): each chunk of latents is decoded to packed bitmasks on the
+TPU (Pallas fused decode+threshold+bitpack, 8x smaller transfer), unpacked,
+converted to gene lists with essential-gene backfill, minimized by the native
+C++ core, and appended to a FASTA shard. Hosts partition the sample axis and
+host 0 merges shards in process order (byte-identical to single-host output).
+
+Semantics match the staged reference pipeline exactly: sampling thresholds
+strictly (>0.5), conversion's >=0.5 is a no-op on binary masks, dedupe keeps
+first-occurrence columns, essentials are set-union + sorted per sample, and
+FASTA records are '>Minimized_E_coli_K12_MG1655_{i+1}\\n{seq}\\n'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import time
+from typing import Sequence
+
+import jax
+import numpy as np
+
+from .genome.converter import dedupe_columns
+from .genome.minimizer import SEQ_ID_PREFIX, MinimizerEngine
+from .sample.sampler import Sampler
+
+logger = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass
+class PipelineStats:
+    genomes: int = 0
+    sample_s: float = 0.0
+    convert_s: float = 0.0
+    minimize_s: float = 0.0
+    total_s: float = 0.0
+
+    def rate(self) -> float:
+        return self.genomes / max(self.total_s, 1e-9)
+
+
+def sample_and_minimize(
+    sampler: Sampler,
+    engine: MinimizerEngine,
+    cols: Sequence[str],
+    essential_set: set[str],
+    num_samples: int,
+    output_file: str,
+    key=None,
+    chunk_size: int = 512,
+    model_name: str = "pipeline",
+    process_index: int | None = None,
+    process_count: int | None = None,
+    merge: bool = True,
+    write_header: bool = True,
+) -> PipelineStats:
+    """Stream ``num_samples`` synthetic genomes into ``output_file``.
+
+    Multi-host: each host handles samples [pi*n/pc, (pi+1)*n/pc) into
+    ``output_file.shard{pi}``; host 0 merges. Single host writes directly.
+    """
+    key = jax.random.key(0) if key is None else key
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+
+    cols_arr, keep_mask = dedupe_columns(np.asarray(cols))
+    if keep_mask.size != sampler.cfg.input_dim:
+        raise ValueError(
+            f"column count {keep_mask.size} != model input dim "
+            f"{sampler.cfg.input_dim}")
+
+    lo_all = pi * num_samples // pc
+    hi_all = (pi + 1) * num_samples // pc
+
+    sharded = pc > 1
+    shard_path = f"{output_file}.shard{pi:05d}" if sharded else output_file
+    os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+
+    stats = PipelineStats()
+    t_start = time.perf_counter()
+    with open(shard_path, "w") as out:
+        if write_header and not sharded:
+            out.write(f"# Minimized genomes generated using model: {model_name}\n")
+            out.write(f"# Total genomes: {num_samples}\n")
+            out.write(f"# Generated on: {np.datetime64('now')}\n")
+
+    latent_dim = sampler.cfg.latent_dim
+    draw_z = jax.jit(jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(key, i), (latent_dim,))))
+
+    for lo in range(lo_all, hi_all, chunk_size):
+        hi = min(lo + chunk_size, hi_all)
+        # -- sample: decode latents to binary masks (packed on-device) ----
+        # z for sample i depends only on i (per-sample key fold), so shard
+        # and chunk boundaries never change the output
+        t0 = time.perf_counter()
+        import jax.numpy as jnp
+
+        z = np.asarray(draw_z(jnp.arange(lo, hi)))
+        binary = sampler.decode_binary(z)
+        stats.sample_s += time.perf_counter() - t0
+
+        # -- convert: masks -> gene lists + essential backfill ------------
+        t0 = time.perf_counter()
+        masks = binary[:, keep_mask]
+        gene_lists = []
+        for row in masks.astype(bool):
+            present = set(cols_arr[row].tolist())
+            present.update(essential_set)
+            gene_lists.append(sorted(present))
+        stats.convert_s += time.perf_counter() - t0
+
+        # -- minimize: intervals -> FASTA (native core) -------------------
+        t0 = time.perf_counter()
+        engine.minimize_batch_to_fasta(gene_lists, shard_path,
+                                       start_index=lo, append=True)
+        stats.minimize_s += time.perf_counter() - t0
+        stats.genomes += hi - lo
+
+    stats.total_s = time.perf_counter() - t_start
+
+    if sharded and merge and pi == 0:
+        with open(output_file, "w") as out:
+            if write_header:
+                out.write(f"# Minimized genomes generated using model: {model_name}\n")
+                out.write(f"# Total genomes: {num_samples}\n")
+                out.write(f"# Generated on: {np.datetime64('now')}\n")
+            for k in range(pc):
+                with open(f"{output_file}.shard{k:05d}") as f:
+                    out.write(f.read())
+    logger.info("pipeline: %d genomes in %.2fs (%.1f/s) — sample %.2fs, "
+                "convert %.2fs, minimize %.2fs", stats.genomes, stats.total_s,
+                stats.rate(), stats.sample_s, stats.convert_s, stats.minimize_s)
+    return stats

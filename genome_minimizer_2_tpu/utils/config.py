@@ -71,6 +71,11 @@ class ExperimentConfig:
     min_delta: float = 1e-4
     print_every: int = 100
 
+    # Fault tolerance / observability (absent in the reference — SURVEY.md §5)
+    checkpoint_every: int = 0     # full train-state checkpoint every N epochs
+    resume_from: str = ""         # path to a train-state checkpoint to resume
+    profile_dir: str = ""         # jax.profiler trace output directory
+
     def to_dict(self) -> Dict[str, Any]:
         return {f.name: getattr(self, f.name) for f in fields(self)}
 
@@ -271,6 +276,14 @@ def add_config_arguments(parser: argparse.ArgumentParser):
                            help="Matmul compute dtype")
     tpu_group.add_argument("--data-parallel", type=int, help="Mesh data-axis size (0=all)")
     tpu_group.add_argument("--model-parallel", type=int, help="Mesh model-axis size")
+
+    ft_group = parser.add_argument_group("Fault Tolerance / Observability")
+    ft_group.add_argument("--checkpoint-every", type=int,
+                          help="Write a full train-state checkpoint every N epochs")
+    ft_group.add_argument("--resume-from", type=str,
+                          help="Resume training from a train-state checkpoint")
+    ft_group.add_argument("--profile-dir", type=str,
+                          help="Write a jax.profiler trace of training here")
 
     config_group = parser.add_argument_group("Configuration Options")
     config_group.add_argument("--config-file", type=str, help="Load configuration from JSON file")

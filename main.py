@@ -40,9 +40,13 @@ def parse_arguments(argv=None):
         description="Run integrated VAE genomics experiments (TPU-native)")
     parser.add_argument("--mode",
                         choices=["training", "experiment", "minimizer", "explore",
-                                 "preprocess", "sample", "convert-samples"],
+                                 "preprocess", "sample", "convert-samples",
+                                 "pipeline"],
                         default="training",
-                        help="Run mode")
+                        help="Run mode ('pipeline' = streaming sample->convert->"
+                             "minimize, an extension over the reference)")
+    parser.add_argument("--chunk-size", type=int, default=512,
+                        help="Pipeline/sampling device chunk size")
     parser.add_argument("--preset", choices=["v0", "v1", "v2", "v3"], default="v3",
                         help="Which model preset to run (for training mode)")
     parser.add_argument("--epochs", type=int, default=None,
@@ -380,6 +384,49 @@ def run_binary_converter(args) -> bool:
     return True
 
 
+def run_pipeline(args) -> bool:
+    """Streaming sample -> convert -> minimize (new capability; bounded
+    memory at 100k-genome scale, per-host sharding)."""
+    print("\n" + "=" * 80)
+    print("STREAMING SAMPLE->CONVERT->MINIMIZE PIPELINE")
+    print("=" * 80)
+    if not args.model_path or not os.path.exists(args.model_path):
+        print("✗ --model-path required (trained checkpoint)")
+        return False
+    if not os.path.exists(args.genome_path):
+        print(f"✗ Genome file not found: {args.genome_path}")
+        return False
+
+    import jax
+    import pandas as pd
+
+    from genome_minimizer_2_tpu.genome.minimizer import MinimizerEngine
+    from genome_minimizer_2_tpu.pipeline import sample_and_minimize
+    from genome_minimizer_2_tpu.sample import sampler as SMP
+
+    large_data = pd.read_csv(directories.ten_k_dataset(), index_col=0)
+    data_without_lineage = large_data.drop(index=["Lineage"], errors="ignore")
+    cols = data_without_lineage.transpose().columns.to_numpy()
+
+    ess = pd.read_csv(directories.paper_essential_genes())
+    col = "# gene" if "# gene" in ess.columns else "gene"
+    essential_set = set(ess[col].astype(str).str.strip())
+
+    sampler, config = SMP.load_sampler(args.model_path, input_dim=len(cols))
+    engine = MinimizerEngine.from_genbank(args.genome_path)
+    out = args.output_file or f"minimized_genomes_{args.model_name}.fasta"
+
+    stats = sample_and_minimize(
+        sampler, engine, cols, essential_set, args.num_samples, out,
+        key=jax.random.key(args.seed), chunk_size=args.chunk_size,
+        model_name=args.model_name)
+    print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
+    print(f"- Throughput: {stats.rate():.1f} genomes/s "
+          f"(sample {stats.sample_s:.1f}s, convert {stats.convert_s:.1f}s, "
+          f"minimize {stats.minimize_s:.1f}s)")
+    return True
+
+
 def main(argv=None) -> int:
     args = parse_arguments(argv)
     print_banner()
@@ -407,6 +454,8 @@ def main(argv=None) -> int:
             results = run_genome_minimizer(args)
         elif args.mode == "convert-samples":
             results = run_binary_converter(args)
+        elif args.mode == "pipeline":
+            results = run_pipeline(args) or None
     except KeyboardInterrupt:
         print("\n\n✗ Process interrupted by user")
         return 1

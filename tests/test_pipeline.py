@@ -1,0 +1,122 @@
+"""Streaming pipeline: equivalence with the staged sample->convert->minimize
+path, multi-host shard merge identity, and the CLI mode."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from genome_minimizer_2_tpu.data import synthetic
+from genome_minimizer_2_tpu.genome.converter import dedupe_columns
+from genome_minimizer_2_tpu.genome.minimizer import MinimizerEngine, SEQ_ID_PREFIX
+from genome_minimizer_2_tpu.models import vae
+from genome_minimizer_2_tpu.pipeline import sample_and_minimize
+from genome_minimizer_2_tpu.sample.sampler import Sampler
+
+D = 60
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("pipe")
+    genes = [f"g{i:03d}" for i in range(D)]
+    gb = d / "g.gb"
+    synthetic.write_genbank(gb, genes, genome_length=3000, seed=11)
+    cfg = vae.VAEConfig(input_dim=D, hidden_dim=10, latent_dim=3)
+    params, stats = vae.init(cfg, jax.random.key(2))
+    sampler = Sampler(cfg=cfg, params=params, batch_stats=stats, chunk_size=64)
+    engine = MinimizerEngine.from_genbank(gb)
+    cols = np.array(genes, dtype=object)
+    essential_set = {"g000", "g007", "madeUpEss"}
+    return sampler, engine, cols, essential_set
+
+
+def _expected_records(sampler, engine, cols, essential_set, n, key):
+    """Staged computation with the pipeline's per-sample key derivation."""
+    cols_arr, keep = dedupe_columns(np.asarray(cols))
+    z = np.stack([
+        np.asarray(jax.random.normal(jax.random.fold_in(key, i),
+                                     (sampler.cfg.latent_dim,)))
+        for i in range(n)
+    ])
+    binary = sampler.decode_binary(z)[:, keep]
+    records = []
+    for i, row in enumerate(binary.astype(bool)):
+        present = sorted(set(cols_arr[row].tolist()) | essential_set)
+        seq = engine.minimize(present)
+        records.append(f">{SEQ_ID_PREFIX}_{i + 1}\n{seq}\n")
+    return "".join(records)
+
+
+def test_pipeline_matches_staged(setup, tmp_path):
+    sampler, engine, cols, essential_set = setup
+    out = tmp_path / "pipe.fasta"
+    key = jax.random.key(5)
+    stats = sample_and_minimize(sampler, engine, cols, essential_set, 17,
+                                str(out), key=key, chunk_size=7,
+                                model_name="t", process_index=0,
+                                process_count=1)
+    assert stats.genomes == 17
+    text = out.read_text()
+    header, _, body = text.partition("# Generated on")
+    body = body.split("\n", 1)[1]
+    assert header.startswith("# Minimized genomes generated using model: t\n"
+                             "# Total genomes: 17\n")
+    expected = _expected_records(sampler, engine, cols, essential_set, 17, key)
+    assert body == expected
+
+
+def test_pipeline_sharded_merge(setup, tmp_path):
+    sampler, engine, cols, essential_set = setup
+    key = jax.random.key(6)
+    single = tmp_path / "single.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 12, str(single),
+                        key=key, chunk_size=5, process_index=0, process_count=1)
+    merged = tmp_path / "merged.fasta"
+    for pi in range(3):
+        sample_and_minimize(sampler, engine, cols, essential_set, 12,
+                            str(merged), key=key, chunk_size=5,
+                            process_index=pi, process_count=3, merge=False)
+    sample_and_minimize(sampler, engine, cols, essential_set, 12, str(merged),
+                        key=key, chunk_size=5, process_index=0,
+                        process_count=3, merge=True)
+    s = single.read_text().splitlines()
+    m = merged.read_text().splitlines()
+    assert s[3:] == m[3:]  # identical modulo the timestamp line
+
+
+def test_pipeline_chunk_size_invariant(setup, tmp_path):
+    """Per-sample keying: output is independent of the chunk size."""
+    sampler, engine, cols, essential_set = setup
+    outs = []
+    for cs in (3, 16):
+        out = tmp_path / f"c{cs}.fasta"
+        sample_and_minimize(sampler, engine, cols, essential_set, 9, str(out),
+                            key=jax.random.key(7), chunk_size=cs,
+                            process_index=0, process_count=1)
+        outs.append(out.read_text().splitlines())
+    assert outs[0][3:] == outs[1][3:]
+
+
+def test_pipeline_cli(synth_root, tmp_path, monkeypatch):
+    import main as cli
+    from genome_minimizer_2_tpu.utils import directories
+
+    monkeypatch.setenv("GM2_ROOT", synth_root["root"])
+    monkeypatch.chdir(tmp_path)
+    # train a tiny model first
+    assert cli.main(["--mode", "experiment", "--trainer-version", "v0",
+                     "--hidden-dim", "8", "--latent-dim", "2",
+                     "--n-epochs", "1", "--batch-size", "8",
+                     "--experiment-name", "pipe_v0",
+                     "--no-generate-plots", "--no-calculate-metrics",
+                     "--no-explore-latent-space"]) == 0
+    ckpt = (directories.project_root() / "models" / "trained_models" / "pipe_v0"
+            / "saved_VAE_v0.npz")
+    out = tmp_path / "pipe_out.fasta"
+    rc = cli.main(["--mode", "pipeline", "--model-path", str(ckpt),
+                   "--num-samples", "6", "--output-file", str(out),
+                   "--model-name", "v0", "--chunk-size", "4"])
+    assert rc == 0
+    text = out.read_text()
+    assert text.count(">") == 6
