@@ -169,6 +169,48 @@ def bench_minimizer(n_genomes: int = 32) -> float:
     return n_genomes / dt
 
 
+def bench_pipeline(trainer, n_genomes: int = 128) -> float:
+    """End-to-end genomes sampled+minimized/s (the BASELINE.json headline
+    secondary metric): streaming pipeline with the flagship model dims and a
+    synthetic E. coli-scale genome."""
+    import jax
+    import numpy as np
+
+    from genome_minimizer_2_tpu.genome.genbank import GenBankRecord
+    from genome_minimizer_2_tpu.genome.minimizer import MinimizerEngine
+    from genome_minimizer_2_tpu.pipeline import sample_and_minimize
+    from genome_minimizer_2_tpu.sample.sampler import Sampler
+
+    rng = np.random.RandomState(0)
+    L = 4_600_000
+    n_genes = 4000
+    seq_bytes = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
+    starts = np.sort(rng.choice(L - 2000, size=n_genes, replace=False)).astype(np.int64)
+    ends = np.minimum(starts + rng.randint(300, 1500, size=n_genes), L)
+    # feature names drawn from the model's gene vocabulary so sampled masks
+    # actually control feature retention
+    cols = np.array([f"gene{i:05d}" for i in range(INPUT_DIM)], dtype=object)
+    names = cols[rng.choice(INPUT_DIM, size=n_genes, replace=False)]
+    engine = MinimizerEngine(record=GenBankRecord("bench", "", []),
+                             gene_names=names, starts=starts, ends=ends,
+                             seq_bytes=seq_bytes)
+    state = trainer.init_state()
+    s = Sampler(cfg=trainer.model_cfg, params=state.params,
+                batch_stats=state.batch_stats, chunk_size=n_genomes)
+    essential_set = {f"gene{i:05d}" for i in range(40)}
+    out = str(REPO / ".bench_pipeline.fasta")
+    # warmup at the SAME chunk shape (remote kernel compiles on this rig
+    # cost ~60s per program); the metric is the steady-state rate
+    sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
+                        key=jax.random.key(0), chunk_size=n_genomes,
+                        process_index=0, process_count=1)
+    stats = sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
+                                key=jax.random.key(0), chunk_size=n_genomes,
+                                process_index=0, process_count=1)
+    os.remove(out)
+    return stats.rate()
+
+
 def main():
     t_start = time.perf_counter()
     baseline = measure_torch_baseline()
@@ -183,6 +225,7 @@ def main():
     train_eps_256 = bench_training(_make_trainer(256), N_TRAIN)
     sample_gps = bench_sampling(trainer)
     minimize_gps = bench_minimizer()
+    pipeline_gps = bench_pipeline(trainer)
 
     base_eps = baseline.get("examples_per_sec")
     result = {
@@ -198,6 +241,7 @@ def main():
             "baseline_examples_per_sec": base_eps,
             "genomes_sampled_per_sec": round(sample_gps, 1),
             "genomes_minimized_per_sec": round(minimize_gps, 2),
+            "genomes_sampled_and_minimized_per_sec": round(pipeline_gps, 2),
             "bench_wall_s": round(time.perf_counter() - t_start, 1),
         },
     }

@@ -18,6 +18,8 @@ from __future__ import annotations
 
 import dataclasses
 import logging
+import os
+from pathlib import Path
 from typing import Tuple
 
 import numpy as np
@@ -99,6 +101,49 @@ def to_matrix(merged_df: pd.DataFrame) -> GenomeMatrix:
 def load_matrix(
     dataset_path: str | None = None,
     phylogroups_path: str | None = None,
+    cache: bool = True,
 ) -> GenomeMatrix:
+    """Load the merged matrix, with an .npz cache beside the CSV.
+
+    The reference re-parses the ~2 GB presence/absence CSV on every CLI mode
+    (minutes of pandas time). The cache stores presence bits as uint8 (~4x
+    smaller than float32) plus the gene vocab and phylogroups, keyed on the
+    source files' mtimes.
+    """
+    dataset_path = dataset_path or directories.ten_k_dataset()
+    phylogroups_path = phylogroups_path or directories.ten_k_dataset_phylogroups()
+    cache_path = Path(str(dataset_path) + ".cache.npz")
+
+    if cache and cache_path.exists():
+        try:
+            with np.load(cache_path, allow_pickle=True) as z:
+                src_mtimes = z["src_mtimes"]
+                current = np.array([os.path.getmtime(dataset_path),
+                                    os.path.getmtime(phylogroups_path)])
+                if np.allclose(src_mtimes, current):
+                    logger.info("Loading dataset from cache: %s", cache_path)
+                    return GenomeMatrix(
+                        data=z["data"].astype(np.float32),
+                        genes=z["genes"],
+                        phylogroups=z["phylogroups"],
+                    )
+        except Exception as e:  # corrupt cache: fall through to CSV
+            logger.warning("cache read failed (%s); re-parsing CSV", e)
+
     _, merged_df, _ = load_and_validate_data(dataset_path, phylogroups_path)
-    return to_matrix(merged_df)
+    matrix = to_matrix(merged_df)
+    small = matrix.data.astype(np.uint8)
+    if cache and np.array_equal(matrix.data, small):
+        try:
+            np.savez_compressed(
+                cache_path,
+                data=small,
+                genes=matrix.genes,
+                phylogroups=matrix.phylogroups,
+                src_mtimes=np.array([os.path.getmtime(dataset_path),
+                                     os.path.getmtime(phylogroups_path)]),
+            )
+            logger.info("Dataset cached to %s", cache_path)
+        except Exception as e:
+            logger.warning("cache write failed: %s", e)
+    return matrix

@@ -157,8 +157,13 @@ def parse_genbank(path: str | Path) -> GenBankRecord:
     feature_lines: List[str] = []
     seq_parts: List[str] = []
     section = None
+    n_records = 0
     for line in lines:
         if line.startswith("LOCUS"):
+            n_records += 1
+            if n_records > 1:
+                # SeqIO.read semantics: exactly one record
+                raise ValueError("More than one record found in handle")
             parts = line.split()
             name = parts[1] if len(parts) > 1 else ""
             section = "header"

@@ -135,6 +135,32 @@ class MinimizerEngine:
             return [s.decode("ascii") for s in seqs]
         return [self.minimize(genes) for genes in gene_lists]
 
+    def feature_lookup(self, cols: Sequence[str], essential_set) -> tuple[np.ndarray, np.ndarray]:
+        """Precompute, per feature: the dataset-column index of its gene name
+        (-1 if the name is not a column) and whether the name is essential.
+
+        Enables fully vectorized drop-mask computation straight from binary
+        masks: feature f is kept iff mask[col_idx[f]] or essential[f] —
+        exactly 'gene_name in (present columns ∪ essentials)'.
+        """
+        col_pos = {str(c): i for i, c in enumerate(cols)}
+        col_idx = np.array([col_pos.get(str(n), -1) for n in self.gene_names],
+                           np.int64)
+        ess = np.array([str(n) in essential_set for n in self.gene_names], bool)
+        return col_idx, ess
+
+    def drop_masks_from_binary(
+        self, binary: np.ndarray, col_idx: np.ndarray, ess: np.ndarray
+    ) -> np.ndarray:
+        """(n, F) uint8 drop masks from (n, n_cols) binary presence masks
+        using a feature_lookup — no per-sample Python work."""
+        binary = np.asarray(binary, bool)
+        padded = np.concatenate(
+            [binary, np.zeros((binary.shape[0], 1), bool)], axis=1)
+        present = padded[:, col_idx]  # col_idx == -1 -> the padded False col
+        keep = present | ess[None, :]
+        return (~keep).astype(np.uint8)
+
     def minimize_batch_to_fasta(
         self,
         gene_lists: Sequence[Sequence[str]],
@@ -150,18 +176,42 @@ class MinimizerEngine:
 
         if use_native is None:
             use_native = native.available() and len(gene_lists) > 1
+        return self.minimize_drop_to_fasta(
+            self.drop_masks(gene_lists), path, start_index=start_index,
+            append=append, use_native=use_native)
+
+    def minimize_drop_to_fasta(
+        self,
+        drop: np.ndarray,
+        path: str,
+        start_index: int = 0,
+        append: bool = False,
+        use_native: bool | None = None,
+    ) -> np.ndarray:
+        """FASTA from precomputed (n, F) drop masks (the vectorized pipeline
+        path — see drop_masks_from_binary); returns minimized lengths."""
+        from . import native
+
+        drop = np.ascontiguousarray(drop, np.uint8)
+        if use_native is None:
+            use_native = native.available() and drop.shape[0] > 1
         if use_native:
             return native.minimize_to_fasta(
-                self.seq_bytes, self.starts, self.ends,
-                self.drop_masks(gene_lists), path, SEQ_ID_PREFIX,
-                start_index=start_index, append=append)
-        lens = np.zeros(len(gene_lists), np.int64)
+                self.seq_bytes, self.starts, self.ends, drop, path,
+                SEQ_ID_PREFIX, start_index=start_index, append=append)
+        L = self.original_length
+        lens = np.zeros(drop.shape[0], np.int64)
         with open(path, "ab" if append else "wb") as out:
-            for i, genes in enumerate(gene_lists):
-                seq = self.minimize(genes)
+            for i in range(drop.shape[0]):
+                diff = np.zeros(L + 1, np.int32)
+                sel = drop[i].astype(bool)
+                np.add.at(diff, np.minimum(self.starts[sel], L), 1)
+                np.add.at(diff, np.minimum(self.ends[sel], L), -1)
+                keep = ~(np.cumsum(diff[:-1]) > 0)
+                seq = self.seq_bytes[keep].tobytes()
                 lens[i] = len(seq)
                 out.write(f">{SEQ_ID_PREFIX}_{start_index + i + 1}\n".encode())
-                out.write(seq.encode("ascii"))
+                out.write(seq)
                 out.write(b"\n")
         return lens
 

@@ -19,12 +19,14 @@ FASTA records are '>Minimized_E_coli_K12_MG1655_{i+1}\\n{seq}\\n'.
 from __future__ import annotations
 
 import dataclasses
+import functools
 import logging
 import os
 import time
 from typing import Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .genome.converter import dedupe_columns
@@ -32,6 +34,16 @@ from .genome.minimizer import SEQ_ID_PREFIX, MinimizerEngine
 from .sample.sampler import Sampler
 
 logger = logging.getLogger(__name__)
+
+
+@functools.partial(jax.jit, static_argnames=("latent_dim",))
+def _draw_z(key, indices, latent_dim: int):
+    """z for sample i from fold_in(key, i) — deterministic per sample index,
+    so shard/chunk boundaries never change results. Module-level jit: the
+    compiled program is shared across pipeline invocations."""
+    return jax.vmap(
+        lambda i: jax.random.normal(jax.random.fold_in(key, i), (latent_dim,))
+    )(indices)
 
 
 @dataclasses.dataclass
@@ -75,6 +87,11 @@ def sample_and_minimize(
         raise ValueError(
             f"column count {keep_mask.size} != model input dim "
             f"{sampler.cfg.input_dim}")
+    # Vectorized convert: per-feature column index + essential flag computed
+    # once; the per-chunk mask->drop conversion is then a pure numpy gather.
+    # Equivalent to building each sample's sorted gene list and testing
+    # feature membership (tested vs the staged path).
+    col_idx, ess_flags = engine.feature_lookup(cols_arr, essential_set)
 
     lo_all = pi * num_samples // pc
     hi_all = (pi + 1) * num_samples // pc
@@ -92,35 +109,25 @@ def sample_and_minimize(
             out.write(f"# Generated on: {np.datetime64('now')}\n")
 
     latent_dim = sampler.cfg.latent_dim
-    draw_z = jax.jit(jax.vmap(
-        lambda i: jax.random.normal(jax.random.fold_in(key, i), (latent_dim,))))
 
     for lo in range(lo_all, hi_all, chunk_size):
         hi = min(lo + chunk_size, hi_all)
         # -- sample: decode latents to binary masks (packed on-device) ----
-        # z for sample i depends only on i (per-sample key fold), so shard
-        # and chunk boundaries never change the output
         t0 = time.perf_counter()
-        import jax.numpy as jnp
-
-        z = np.asarray(draw_z(jnp.arange(lo, hi)))
+        z = np.asarray(_draw_z(key, jnp.arange(lo, hi), latent_dim))
         binary = sampler.decode_binary(z)
         stats.sample_s += time.perf_counter() - t0
 
-        # -- convert: masks -> gene lists + essential backfill ------------
+        # -- convert: masks -> per-feature drop masks (vectorized) --------
         t0 = time.perf_counter()
-        masks = binary[:, keep_mask]
-        gene_lists = []
-        for row in masks.astype(bool):
-            present = set(cols_arr[row].tolist())
-            present.update(essential_set)
-            gene_lists.append(sorted(present))
+        drop = engine.drop_masks_from_binary(binary[:, keep_mask], col_idx,
+                                             ess_flags)
         stats.convert_s += time.perf_counter() - t0
 
         # -- minimize: intervals -> FASTA (native core) -------------------
         t0 = time.perf_counter()
-        engine.minimize_batch_to_fasta(gene_lists, shard_path,
-                                       start_index=lo, append=True)
+        engine.minimize_drop_to_fasta(drop, shard_path, start_index=lo,
+                                      append=True)
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 
