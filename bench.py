@@ -102,14 +102,28 @@ def _make_trainer(batch_size: int):
     return T.create_trainer("v0", config, input_dim=INPUT_DIM)
 
 
+def _device_data(trainer, n: int):
+    """Synthetic presence/absence data generated ON DEVICE — pushing ~768 MB
+    through this rig's slow host<->device tunnel would dominate the bench."""
+    import jax
+    import jax.numpy as jnp
+
+    D = INPUT_DIM
+    Dp = trainer.model_cfg.padded_dim
+
+    @jax.jit
+    def gen(key):
+        x = jax.random.bernoulli(key, 0.5, (n, D)).astype(jnp.float32)
+        return jnp.pad(x, ((0, 0), (0, Dp - D)))
+
+    return gen(jax.random.key(0))
+
+
 def bench_training(trainer, n_train: int) -> float:
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
-    rng = np.random.RandomState(0)
-    x = (rng.rand(n_train, INPUT_DIM) < 0.5).astype(np.float32)
-    data = trainer.prepare_data(x)
+    data = _device_data(trainer, n_train)
     state = trainer.init_state()
     epoch_fn = trainer._get_epoch_fn(n_train, train=True)
     e = jnp.asarray(0, jnp.int32)
@@ -143,7 +157,7 @@ def bench_sampling(trainer, num_samples: int = 2048) -> float:
     return num_samples / dt
 
 
-def bench_minimizer(n_genomes: int = 32) -> float:
+def bench_minimizer(n_genomes: int = 128) -> float:
     import numpy as np
 
     from genome_minimizer_2_tpu.genome.genbank import GenBankRecord
@@ -159,13 +173,15 @@ def bench_minimizer(n_genomes: int = 32) -> float:
     record = GenBankRecord(name="bench", seq="", features=[])
     engine = MinimizerEngine(record=record, gene_names=names, starts=starts,
                              ends=np.minimum(ends, L), seq_bytes=seq_bytes)
-    keep_fracs = rng.rand(n_genomes)
-    gene_lists = [names[rng.rand(n_genes) < f].tolist() for f in keep_fracs]
-    engine.minimize(gene_lists[0])  # warmup
+    # production path: drop masks -> native sweep -> FASTA records
+    drop = (rng.rand(n_genomes, n_genes) < rng.rand(n_genomes)[:, None]).astype(np.uint8)
+    outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
+    out = os.path.join(outdir, ".bench_min.fasta")
+    engine.minimize_drop_to_fasta(drop[:2], out)  # warmup (builds native lib)
     t0 = time.perf_counter()
-    for genes in gene_lists:
-        engine.minimize(genes)
+    engine.minimize_drop_to_fasta(drop, out)
     dt = time.perf_counter() - t0
+    os.remove(out)
     return n_genomes / dt
 
 
@@ -198,7 +214,8 @@ def bench_pipeline(trainer, n_genomes: int = 128) -> float:
     s = Sampler(cfg=trainer.model_cfg, params=state.params,
                 batch_stats=state.batch_stats, chunk_size=n_genomes)
     essential_set = {f"gene{i:05d}" for i in range(40)}
-    out = str(REPO / ".bench_pipeline.fasta")
+    outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
+    out = os.path.join(outdir, ".bench_pipeline.fasta")
     # warmup at the SAME chunk shape (remote kernel compiles on this rig
     # cost ~60s per program); the metric is the steady-state rate
     sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
@@ -217,31 +234,53 @@ def main():
 
     import jax
 
+    # Soft deadline: the remote-compile service on this rig has minutes-scale
+    # latency variance per compiled program; always emit the JSON line with
+    # whatever phases fit the budget (headline metric first).
+    budget = float(os.environ.get("GM2_BENCH_BUDGET_S", "460"))
+
+    def phase(name, fn, optional=False):
+        if optional and time.perf_counter() - t_start > budget:
+            print(f"[bench] {name}: SKIPPED (budget)", file=sys.stderr)
+            return None
+        t0 = time.perf_counter()
+        try:
+            r = fn()
+        except Exception as e:
+            print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
+            return None
+        print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+        return r
+
     backend = jax.default_backend()
     trainer = _make_trainer(BATCH)
-    train_eps = bench_training(trainer, N_TRAIN)
-    # same model/optimizer at batch 256: shows the throughput headroom once
-    # the per-step optimizer/weight traffic amortizes over a bigger batch
-    train_eps_256 = bench_training(_make_trainer(256), N_TRAIN)
-    sample_gps = bench_sampling(trainer)
-    minimize_gps = bench_minimizer()
-    pipeline_gps = bench_pipeline(trainer)
+    train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN))
+    minimize_gps = phase("minimize", bench_minimizer)  # no TPU involved
+    sample_gps = phase("sampling", lambda: bench_sampling(trainer), optional=True)
+    pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer), optional=True)
+    # batch 256: shows the throughput headroom once the per-step optimizer/
+    # weight traffic amortizes over a bigger batch
+    train_eps_256 = phase("train_bs256",
+                          lambda: bench_training(_make_trainer(256), N_TRAIN),
+                          optional=True)
 
     base_eps = baseline.get("examples_per_sec")
+    rnd = lambda v, p=1: round(v, p) if v is not None else None
     result = {
         "metric": "v0_train_examples_per_sec",
-        "value": round(train_eps, 1),
+        "value": rnd(train_eps),
         "unit": "examples/s",
-        "vs_baseline": round(train_eps / base_eps, 2) if base_eps else None,
+        "vs_baseline": (round(train_eps / base_eps, 2)
+                        if base_eps and train_eps else None),
         "extra": {
             "backend": backend,
             "compute_dtype": trainer.config.compute_dtype,
             "batch_size": BATCH,
-            "train_examples_per_sec_bs256": round(train_eps_256, 1),
+            "train_examples_per_sec_bs256": rnd(train_eps_256),
             "baseline_examples_per_sec": base_eps,
-            "genomes_sampled_per_sec": round(sample_gps, 1),
-            "genomes_minimized_per_sec": round(minimize_gps, 2),
-            "genomes_sampled_and_minimized_per_sec": round(pipeline_gps, 2),
+            "genomes_sampled_per_sec": rnd(sample_gps),
+            "genomes_minimized_per_sec": rnd(minimize_gps, 2),
+            "genomes_sampled_and_minimized_per_sec": rnd(pipeline_gps, 2),
             "bench_wall_s": round(time.perf_counter() - t_start, 1),
         },
     }

@@ -130,17 +130,26 @@ class VAETrainer:
 
     def init_state(self, seed: int | None = None) -> TrainState:
         seed = self.config.seed if seed is None else seed
-        key = jax.random.key(seed)
-        init_key, rng = jax.random.split(key)
-        params, batch_stats = vae.init(self.model_cfg, init_key)
-        opt_state = self.tx.init(params)
-        return TrainState(
-            params=params,
-            batch_stats=batch_stats,
-            opt_state=opt_state,
-            counter=jnp.zeros((), jnp.int32),
-            rng=rng,
-        )
+
+        # One jitted program for the whole init — running the ~40 parameter
+        # initializers eagerly costs a separate (remote) compile each on
+        # some backends
+        def _init(seed_arr):
+            key = jax.random.wrap_key_data(seed_arr)
+            init_key, rng = jax.random.split(key)
+            params, batch_stats = vae.init(self.model_cfg, init_key)
+            opt_state = self.tx.init(params)
+            return TrainState(
+                params=params,
+                batch_stats=batch_stats,
+                opt_state=opt_state,
+                counter=jnp.zeros((), jnp.int32),
+                rng=rng,
+            )
+
+        if "init" not in self._epoch_fns:
+            self._epoch_fns["init"] = jax.jit(_init)
+        return self._epoch_fns["init"](jax.random.key_data(jax.random.key(seed)))
 
     # -- core step functions ----------------------------------------------
 

@@ -9,42 +9,41 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread gm2min.cpp -o libgm2min.so
 
+#include <algorithm>
 #include <atomic>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <numeric>
 #include <string>
 #include <thread>
 #include <vector>
 
 namespace {
 
-// Fill `removed` with 1 over the union of dropped features' [start, end).
-void build_removal(const int64_t* starts, const int64_t* ends, int64_t F,
-                   const uint8_t* drop, int64_t L, uint8_t* removed) {
-  std::memset(removed, 0, static_cast<size_t>(L));
-  for (int64_t f = 0; f < F; ++f) {
-    if (!drop[f]) continue;
-    int64_t s = starts[f] < 0 ? 0 : starts[f];
-    int64_t e = ends[f] > L ? L : ends[f];
-    if (e > s) std::memset(removed + s, 1, static_cast<size_t>(e - s));
-  }
-}
-
-// Compact seq into out, skipping removed bases. Returns output length.
-int64_t compact(const uint8_t* seq, const uint8_t* removed, int64_t L,
-                uint8_t* out) {
+// Merge-sweep over features sorted by start: for each dropped interval, copy
+// the kept gap before it, then advance past its end. Equivalent to the
+// union-of-positions semantics, but O(F + output_bytes) memcpys instead of
+// O(genome) per-byte work.
+int64_t sweep(const uint8_t* seq, int64_t L, const int64_t* starts,
+              const int64_t* ends, const int64_t* order, int64_t F,
+              const uint8_t* drop, uint8_t* out) {
+  int64_t cur = 0;
   int64_t n = 0;
-  int64_t i = 0;
-  while (i < L) {
-    // find the next removed run boundary; copy kept runs with memcpy
-    int64_t run_start = i;
-    while (i < L && !removed[i]) ++i;
-    if (i > run_start) {
-      std::memcpy(out + n, seq + run_start, static_cast<size_t>(i - run_start));
-      n += i - run_start;
+  for (int64_t k = 0; k < F; ++k) {
+    int64_t f = order[k];
+    if (!drop[f]) continue;
+    int64_t s = starts[f] < 0 ? 0 : (starts[f] > L ? L : starts[f]);
+    int64_t e = ends[f] > L ? L : ends[f];
+    if (s > cur) {
+      std::memcpy(out + n, seq + cur, static_cast<size_t>(s - cur));
+      n += s - cur;
     }
-    while (i < L && removed[i]) ++i;
+    if (e > cur) cur = e;
+  }
+  if (cur < L) {
+    std::memcpy(out + n, seq + cur, static_cast<size_t>(L - cur));
+    n += L - cur;
   }
   return n;
 }
@@ -54,6 +53,7 @@ struct BatchArgs {
   int64_t L;
   const int64_t* starts;
   const int64_t* ends;
+  const int64_t* order;  // feature indices sorted by start
   int64_t F;
   const uint8_t* drop;  // n_samples x F
   int64_t n_samples;
@@ -61,16 +61,12 @@ struct BatchArgs {
   int64_t* out_lens;
 };
 
-void worker(const BatchArgs& a, std::atomic<int64_t>* next,
-            std::vector<uint8_t>* scratch) {
-  scratch->resize(static_cast<size_t>(a.L));
+void worker(const BatchArgs& a, std::atomic<int64_t>* next) {
   for (;;) {
     int64_t i = next->fetch_add(1);
     if (i >= a.n_samples) return;
-    build_removal(a.starts, a.ends, a.F, a.drop + i * a.F, a.L,
-                  scratch->data());
-    a.out_lens[i] =
-        compact(a.seq, scratch->data(), a.L, a.out + i * a.L);
+    a.out_lens[i] = sweep(a.seq, a.L, a.starts, a.ends, a.order, a.F,
+                          a.drop + i * a.F, a.out + i * a.L);
   }
 }
 
@@ -91,14 +87,18 @@ int gm2_minimize_batch(const uint8_t* seq, int64_t L, const int64_t* starts,
                        int64_t n_samples, uint8_t* out, int64_t* out_lens,
                        int n_threads) {
   if (!seq || !out || !out_lens || L < 0 || F < 0 || n_samples < 0) return 1;
-  BatchArgs a{seq, L, starts, ends, F, drop, n_samples, out, out_lens};
+  std::vector<int64_t> order(static_cast<size_t>(F));
+  std::iota(order.begin(), order.end(), 0);
+  std::sort(order.begin(), order.end(),
+            [starts](int64_t a, int64_t b) { return starts[a] < starts[b]; });
+  BatchArgs a{seq, L, starts, ends, order.data(), F, drop, n_samples, out,
+              out_lens};
   int nt = resolve_threads(n_threads);
   if (nt > n_samples) nt = n_samples > 0 ? static_cast<int>(n_samples) : 1;
   std::atomic<int64_t> next{0};
   std::vector<std::thread> threads;
-  std::vector<std::vector<uint8_t>> scratches(static_cast<size_t>(nt));
   for (int t = 0; t < nt; ++t)
-    threads.emplace_back(worker, std::cref(a), &next, &scratches[t]);
+    threads.emplace_back(worker, std::cref(a), &next);
   for (auto& th : threads) th.join();
   return 0;
 }
