@@ -253,9 +253,11 @@ def main():
         return r
 
     backend = jax.default_backend()
+    # minimize first: it is pure CPU and the TPU client's service threads
+    # contend for this host's 2 cores once device work starts
+    minimize_gps = phase("minimize", bench_minimizer)
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN))
-    minimize_gps = phase("minimize", bench_minimizer)  # no TPU involved
     sample_gps = phase("sampling", lambda: bench_sampling(trainer), optional=True)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer), optional=True)
     # batch 256: shows the throughput headroom once the per-step optimizer/

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .genome.converter import dedupe_columns
-from .genome.minimizer import SEQ_ID_PREFIX, MinimizerEngine
+from .genome.minimizer import MinimizerEngine
 from .sample.sampler import Sampler
 
 logger = logging.getLogger(__name__)

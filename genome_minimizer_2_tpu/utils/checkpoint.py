@@ -14,9 +14,7 @@ save-only).
 
 from __future__ import annotations
 
-import io
 import json
-import zipfile
 from pathlib import Path
 from typing import Any, Dict, Tuple
 

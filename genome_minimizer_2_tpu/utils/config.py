@@ -11,7 +11,6 @@ does not have.
 from __future__ import annotations
 
 import argparse
-import dataclasses
 import json
 from dataclasses import dataclass, fields
 from pathlib import Path

@@ -12,7 +12,7 @@ import contextlib
 import os
 import time
 from dataclasses import dataclass, field
-from typing import Dict, List
+from typing import Dict
 
 
 @contextlib.contextmanager
