@@ -433,7 +433,8 @@ def main(argv=None) -> int:
     import jax
     print(f"\nRunning in {args.mode} mode on {jax.default_backend()}")
 
-    if args.mode in ["training", "experiment", "explore", "preprocess", "sample"]:
+    if args.mode in ["training", "experiment", "explore", "preprocess", "sample",
+                     "pipeline"]:
         if not check_data_availability():
             print("\n✗ Cannot proceed without required data files")
             return 1
