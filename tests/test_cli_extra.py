@@ -1,0 +1,72 @@
+"""CLI coverage: config files, resume-from, checkpoint-every, missing-data
+handling."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import main as cli
+from genome_minimizer_2_tpu.utils import directories
+
+
+@pytest.fixture()
+def cli_root(synth_root, tmp_path, monkeypatch):
+    monkeypatch.setenv("GM2_ROOT", synth_root["root"])
+    monkeypatch.chdir(tmp_path)
+    return synth_root
+
+
+def test_missing_data_exits_nonzero(tmp_path, monkeypatch):
+    monkeypatch.setenv("GM2_ROOT", str(tmp_path / "empty"))
+    rc = cli.main(["--mode", "training", "--preset", "v0", "--epochs", "1"])
+    assert rc == 1
+
+
+def test_config_file_mode(cli_root, tmp_path):
+    cfg_file = tmp_path / "exp.json"
+    cfg_file.write_text(json.dumps({
+        "hidden_dim": 8, "latent_dim": 2, "n_epochs": 1, "batch_size": 16,
+        "trainer_version": "v0", "experiment_name": "from_file",
+        "generate_plots": False, "calculate_metrics": False,
+        "explore_latent_space": False,
+    }))
+    rc = cli.main(["--mode", "experiment", "--config-file", str(cfg_file)])
+    assert rc == 0
+    ckpt = (directories.project_root() / "models" / "trained_models"
+            / "from_file" / "saved_VAE_v0.npz")
+    assert ckpt.exists()
+
+
+def test_cli_flag_overrides_config_file(cli_root, tmp_path):
+    cfg_file = tmp_path / "exp2.json"
+    cfg_file.write_text(json.dumps({
+        "hidden_dim": 8, "latent_dim": 2, "n_epochs": 5, "batch_size": 16,
+        "trainer_version": "v0", "experiment_name": "override_me",
+        "generate_plots": False, "calculate_metrics": False,
+        "explore_latent_space": False,
+    }))
+    rc = cli.main(["--mode", "experiment", "--config-file", str(cfg_file),
+                   "--n-epochs", "1", "--experiment-name", "overridden"])
+    assert rc == 0
+    cfg_txt = (directories.project_root() / "models" / "overridden" / "figures"
+               / "overridden_config.txt").read_text()
+    line = next(l for l in cfg_txt.splitlines() if l.strip().startswith("n_epochs"))
+    assert line.split(":")[1].strip() == "1"
+
+
+def test_checkpoint_every_and_resume(cli_root):
+    common = ["--mode", "experiment", "--trainer-version", "v2",
+              "--hidden-dim", "8", "--latent-dim", "2", "--batch-size", "16",
+              "--no-generate-plots", "--no-calculate-metrics",
+              "--no-explore-latent-space"]
+    rc = cli.main(common + ["--n-epochs", "2", "--experiment-name", "ck",
+                            "--checkpoint-every", "2"])
+    assert rc == 0
+    state_ckpt = (directories.project_root() / "models" / "trained_models"
+                  / "ck" / "train_state_2.npz")
+    assert state_ckpt.exists()
+    rc = cli.main(common + ["--n-epochs", "4", "--experiment-name", "ck2",
+                            "--resume-from", str(state_ckpt)])
+    assert rc == 0
