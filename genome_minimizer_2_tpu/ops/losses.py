@@ -185,16 +185,30 @@ def compute_losses(
     epoch,
     counter,
     feature_mask,
+    fused: bool = False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + per-component dict for one batch (LossTracker.compute_total_loss,
-    trainer.py:44-56 — without the per-batch host sync)."""
+    trainer.py:44-56 — without the per-batch host sync).
+
+    ``fused=True`` computes the BCE sum and the abundance column-sum in one
+    memory pass over the logits via the Pallas kernel (closed-form custom
+    VJP); identical math, used on TPU.
+    """
     comps: Dict[str, jnp.ndarray] = {}
-    comps[RECONSTRUCTION] = bce_sum_logits(logits, data, feature_mask)
+    colsum = None
+    if fused:
+        from .pallas_kernels import bce_and_colsum
+
+        comps[RECONSTRUCTION], colsum = bce_and_colsum(logits, data, feature_mask)
+    else:
+        comps[RECONSTRUCTION] = bce_sum_logits(logits, data, feature_mask)
     beta = beta_schedule(spec, epoch, counter)
     comps[KL_DIVERGENCE] = beta * kl_divergence(mu, logvar)
     if spec.use_abundance:
         gamma = gamma_schedule(spec, epoch)
-        comps[GENE_ABUNDANCE] = spec.weight * gamma * gene_abundance(logits, feature_mask)
+        abundance = (jnp.sum(jnp.abs(colsum)) if colsum is not None
+                     else gene_abundance(logits, feature_mask))
+        comps[GENE_ABUNDANCE] = spec.weight * gamma * abundance
     if spec.use_l1:
         # lambda is static: skip the penalty entirely when 0 (the reference
         # returns a constant 0 tensor then — loss_components.py:134-136)

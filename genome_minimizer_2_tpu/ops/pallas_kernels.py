@@ -185,3 +185,100 @@ def decode_threshold_pack(h, w, b, block_m: int = 128, block_n: int = 1024,
 def unpack_bits(packed: np.ndarray, n: int) -> np.ndarray:
     """Host-side inverse of the packers: uint8 (M, ceil(n/8)) -> (M, n)."""
     return np.unpackbits(np.asarray(packed), axis=1, bitorder="little")[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# fused BCE-sum + abundance column-sum with closed-form custom VJP
+# ---------------------------------------------------------------------------
+#
+# One pass over the (B, D) logits computing BOTH reductions the VAE loss
+# needs from the reconstruction: the masked BCE sum (reconstruction loss,
+# loss_components.py:50) and the per-gene column sum of probabilities (the
+# abundance loss input, loss_components.py:113). The backward pass is the
+# closed form d/dl = (g_bce*(s - y) + g_col*s*(1-s)) * mask — no stored
+# activations beyond the logits the caller already has.
+
+def _bce_colsum_kernel(l_ref, y_ref, m_ref, bce_ref, col_ref):
+    j = pl.program_id(0)
+    l = l_ref[:]
+    y = y_ref[:]
+    m = m_ref[:]
+    per_elem = (jnp.logaddexp(0.0, l) - l * y) * m
+    probs = jax.nn.sigmoid(l) * m
+
+    @pl.when(j == 0)
+    def _():
+        bce_ref[0, 0] = 0.0
+
+    bce_ref[0, 0] += jnp.sum(per_elem)
+    col_ref[:] = jnp.sum(probs, axis=0, keepdims=True)
+
+
+def _bce_colsum_reference(logits, targets, mask):
+    logits = logits.astype(jnp.float32)
+    per_elem = (jnp.logaddexp(0.0, logits) - logits * targets) * mask
+    probs = jax.nn.sigmoid(logits) * mask
+    return jnp.sum(per_elem), jnp.sum(probs, axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("block_n",))
+def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280):
+    M, N = logits.shape
+    if not _on_tpu():
+        return _bce_colsum_reference(logits, targets, mask)
+    Np = round_up(N, block_n)
+    if Np != N:
+        # zero-masked padding contributes 0 to both reductions
+        logits = jnp.pad(logits, ((0, 0), (0, Np - N)))
+        targets = jnp.pad(targets, ((0, 0), (0, Np - N)))
+        mask = jnp.pad(mask, (0, Np - N))
+    grid = (Np // block_n,)
+    mask2d = mask.reshape(1, Np).astype(jnp.float32)
+    bce, col = pl.pallas_call(
+        _bce_colsum_kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+            jax.ShapeDtypeStruct((1, Np), jnp.float32),
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((M, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_n), lambda j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ),
+    )(logits.astype(jnp.float32), targets.astype(jnp.float32), mask2d)
+    return bce[0, 0], col[0, :N]
+
+
+@jax.custom_vjp
+def bce_and_colsum(logits, targets, mask):
+    """(masked BCE-with-logits sum, per-column probability sums).
+
+    Identical math to ops.losses.bce_sum_logits + the abundance column sum,
+    fused into one memory pass on TPU; jnp reference elsewhere.
+    """
+    return _bce_colsum_impl(logits, targets, mask)
+
+
+def _bce_colsum_fwd(logits, targets, mask):
+    out = _bce_colsum_impl(logits, targets, mask)
+    return out, (logits, targets, mask)
+
+
+def _bce_colsum_bwd(residuals, cotangents):
+    logits, targets, mask = residuals
+    g_bce, g_col = cotangents
+    s = jax.nn.sigmoid(logits.astype(jnp.float32))
+    dl = (g_bce * (s - targets) + g_col[None, :] * s * (1.0 - s)) * mask
+    return dl.astype(logits.dtype), jnp.zeros_like(targets), jnp.zeros_like(mask)
+
+
+bce_and_colsum.defvjp(_bce_colsum_fwd, _bce_colsum_bwd)

@@ -167,6 +167,7 @@ class VAETrainer:
         total, comps = L.compute_losses(
             self.spec, params, logits, batch, mu, logvar, epoch, counter,
             self.model_cfg.feature_mask(),
+            fused=getattr(self.config, "use_pallas_loss", True),
         )
         return total, (comps, new_stats)
 

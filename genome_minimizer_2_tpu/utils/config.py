@@ -62,8 +62,9 @@ class ExperimentConfig:
     seed: int = 0                 # jax.random root seed
     compute_dtype: str = "float32"  # 'float32' or 'bfloat16'
     data_parallel: int = 1        # mesh 'data' axis size (0 = all devices)
-    model_parallel: int = 1       # mesh 'model' axis size
+    model_parallel: int = 1      # mesh 'model' axis size
     pad_features: bool = True     # pad gene axis to a multiple of 128 lanes
+    use_pallas_loss: bool = True  # fused BCE+colsum kernel (jnp fallback off-TPU)
 
     # Early stopping (TrainingConfig in trainer.py:23-31; presets set patience)
     patience: int = 10

@@ -60,6 +60,36 @@ def main():
           f"{'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # --- fused BCE+colsum kernel vs reference --------------------------
+    Bm, Dm = 32, 55040
+    logits = jnp.asarray(rng.randn(Bm, Dm).astype(np.float32))
+    targets = jnp.asarray((rng.rand(Bm, Dm) < 0.5).astype(np.float32))
+    mask = jnp.ones(Dm).at[55039:].set(0.0)
+    bce_k, col_k = PK._bce_colsum_impl(logits, targets, mask)
+    bce_r, col_r = PK._bce_colsum_reference(logits, targets, mask)
+    e1 = abs(float(bce_k) - float(bce_r)) / abs(float(bce_r))
+    e2 = float(jnp.max(jnp.abs(col_k - col_r)))
+    ok = e1 < 1e-5 and e2 < 1e-2
+    print(f"bce_and_colsum: rel_bce={e1:.2e} max|col diff|={e2:.2e} "
+          f"{'OK' if ok else 'FAIL'}")
+    failures += not ok
+
+    # --- fused-loss gradient through the train step --------------------
+    def loss_fused(l):
+        bce, col = PK.bce_and_colsum(l, targets, mask)
+        return bce + 0.1 * jnp.sum(jnp.abs(col))
+
+    def loss_ref(l):
+        bce, col = PK._bce_colsum_reference(l, targets, mask)
+        return bce + 0.1 * jnp.sum(jnp.abs(col))
+
+    g_f = jax.grad(loss_fused)(logits)
+    g_r = jax.grad(loss_ref)(logits)
+    gerr = float(jnp.max(jnp.abs(g_f - g_r)))
+    ok = gerr < 1e-4
+    print(f"bce_and_colsum grad: max|diff|={gerr:.2e} {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     # --- sampler packed path vs dense logits path ----------------------
     cfg = vae.VAEConfig(input_dim=55039, hidden_dim=512, latent_dim=32,
                         policy=Policy("bfloat16"))
