@@ -160,6 +160,17 @@ class VAETrainer:
             )
         return batch
 
+    def _devices_are_tpu(self) -> bool:
+        """Use the fused Pallas loss only for single-device TPU execution: a
+        pallas_call has no GSPMD partitioning rule, so under a >1-device mesh
+        it could force a gather of the sharded batch (the jnp path partitions
+        cleanly and XLA fuses it well)."""
+        if self.mesh is not None and self.mesh.size > 1:
+            return False
+        if self.mesh is not None:
+            return next(iter(self.mesh.devices.flat)).platform == "tpu"
+        return jax.default_backend() == "tpu"
+
     def _loss_fn(self, params, batch_stats, batch, key, epoch, counter, train: bool):
         logits, mu, logvar, new_stats = vae.forward(
             self.model_cfg, params, batch_stats, batch, key, train=train
@@ -167,7 +178,8 @@ class VAETrainer:
         total, comps = L.compute_losses(
             self.spec, params, logits, batch, mu, logvar, epoch, counter,
             self.model_cfg.feature_mask(),
-            fused=getattr(self.config, "use_pallas_loss", True),
+            fused=(getattr(self.config, "use_pallas_loss", True)
+                   and self._devices_are_tpu()),
         )
         return total, (comps, new_stats)
 
