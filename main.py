@@ -233,8 +233,10 @@ def run_sampling(args) -> bool:
                             n_components=2)
 
     print("Saving results...")
+    # float32 (not float64): at 100k x 55k the reference's float64 .npy would
+    # be 44 GB; converters accept any numeric dtype
     np.save(output_dir / f"{model_name}_binary_samples_{args.sampling_mode}.npy",
-            binary_samples.astype(float))
+            binary_samples.astype(np.float32))
     SMP.write_samples_to_dataframe(
         binary_samples, matrix.genes,
         str(output_dir / f"{model_name}_data_full_samples_df.csv"))
