@@ -20,3 +20,38 @@ over a `jax.sharding.Mesh` with XLA-inserted psum gradient reductions.
 """
 
 __version__ = "0.1.0"
+
+# Lazy public API — attribute access imports the submodule on first use so
+# `import genome_minimizer_2_tpu` stays light.
+_API = {
+    "ExperimentConfig": "utils.config",
+    "get_preset_config": "utils.config",
+    "load_and_validate_data": "data.dataset",
+    "load_matrix": "data.dataset",
+    "three_way_split": "data.split",
+    "VAETrainer": "train.trainer",
+    "create_trainer": "train.trainer",
+    "Sampler": "sample.sampler",
+    "load_sampler": "sample.sampler",
+    "count_essential_genes": "sample.sampler",
+    "MinimizerEngine": "genome.minimizer",
+    "GenomeMinimiser": "genome.minimizer",
+    "parse_genbank": "genome.genbank",
+    "masks_to_gene_lists": "genome.converter",
+    "check_essential_genes": "genome.converter",
+    "sample_and_minimize": "pipeline",
+    "IntegratedExperimentRunner": "experiments",
+}
+
+
+def __getattr__(name):
+    if name in _API:
+        import importlib
+
+        module = importlib.import_module(f".{_API[name]}", __name__)
+        return getattr(module, name)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")
+
+
+def __dir__():
+    return sorted(list(globals()) + list(_API))
