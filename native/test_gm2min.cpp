@@ -1,0 +1,108 @@
+// Standalone test harness for the native minimization core.
+//
+// Exercises gm2_minimize_batch / gm2_minimize_to_fasta with many threads and
+// verifies results against a single-threaded per-base oracle (the reference
+// algorithm's semantics). Built by `make check` both plain and with
+// -fsanitize=thread — the TSan run is the framework's race-detection gate
+// for the multithreaded sweep workers (the reference is single-threaded
+// Python and has no such subsystem; SURVEY.md §5).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <random>
+#include <string>
+#include <vector>
+
+extern "C" {
+int gm2_minimize_batch(const uint8_t*, int64_t, const int64_t*, const int64_t*,
+                       int64_t, const uint8_t*, int64_t, uint8_t*, int64_t*,
+                       int);
+int gm2_minimize_to_fasta(const uint8_t*, int64_t, const int64_t*,
+                          const int64_t*, int64_t, const uint8_t*, int64_t,
+                          const char*, const char*, int64_t, int, int,
+                          int64_t*);
+}
+
+namespace {
+
+// Oracle: per-base membership in the union of dropped intervals.
+std::vector<uint8_t> oracle(const std::vector<uint8_t>& seq,
+                            const std::vector<int64_t>& starts,
+                            const std::vector<int64_t>& ends,
+                            const uint8_t* drop) {
+  int64_t L = static_cast<int64_t>(seq.size());
+  std::vector<uint8_t> removed(seq.size(), 0);
+  for (size_t f = 0; f < starts.size(); ++f) {
+    if (!drop[f]) continue;
+    for (int64_t i = std::max<int64_t>(0, starts[f]);
+         i < std::min<int64_t>(L, ends[f]); ++i)
+      removed[static_cast<size_t>(i)] = 1;
+  }
+  std::vector<uint8_t> out;
+  for (size_t i = 0; i < seq.size(); ++i)
+    if (!removed[i]) out.push_back(seq[i]);
+  return out;
+}
+
+}  // namespace
+
+int main() {
+  std::mt19937 rng(42);
+  const int64_t L = 200000;
+  const int64_t F = 500;
+  const int64_t N = 64;
+
+  std::vector<uint8_t> seq(L);
+  const char* bases = "ACGT";
+  for (auto& b : seq) b = static_cast<uint8_t>(bases[rng() % 4]);
+
+  std::vector<int64_t> starts(F), ends(F);
+  for (int64_t f = 0; f < F; ++f) {
+    starts[f] = static_cast<int64_t>(rng() % (L - 1000));
+    ends[f] = starts[f] + 50 + static_cast<int64_t>(rng() % 800);
+  }
+  // deliberately unsorted + overlapping + one clamped interval
+  ends[0] = L + 500;
+
+  std::vector<uint8_t> drop(static_cast<size_t>(N * F));
+  for (auto& d : drop) d = rng() % 2;
+
+  std::vector<uint8_t> out(static_cast<size_t>(N * L));
+  std::vector<int64_t> lens(static_cast<size_t>(N));
+  int rc = gm2_minimize_batch(seq.data(), L, starts.data(), ends.data(), F,
+                              drop.data(), N, out.data(), lens.data(), 8);
+  if (rc != 0) {
+    std::fprintf(stderr, "FAIL: batch rc=%d\n", rc);
+    return 1;
+  }
+  for (int64_t i = 0; i < N; ++i) {
+    auto expect = oracle(seq, starts, ends, drop.data() + i * F);
+    if (static_cast<int64_t>(expect.size()) != lens[static_cast<size_t>(i)] ||
+        std::memcmp(expect.data(), out.data() + i * L, expect.size()) != 0) {
+      std::fprintf(stderr, "FAIL: sample %lld mismatch\n",
+                   static_cast<long long>(i));
+      return 1;
+    }
+  }
+
+  const char* path = "/tmp/gm2min_test.fasta";
+  std::vector<int64_t> lens2(static_cast<size_t>(N));
+  rc = gm2_minimize_to_fasta(seq.data(), L, starts.data(), ends.data(), F,
+                             drop.data(), N, path, "T", 0, 0, 8, lens2.data());
+  if (rc != 0) {
+    std::fprintf(stderr, "FAIL: to_fasta rc=%d\n", rc);
+    return 1;
+  }
+  for (int64_t i = 0; i < N; ++i) {
+    if (lens2[static_cast<size_t>(i)] != lens[static_cast<size_t>(i)]) {
+      std::fprintf(stderr, "FAIL: to_fasta lens mismatch\n");
+      return 1;
+    }
+  }
+  std::remove(path);
+  std::printf("gm2min native tests PASS (%lld genomes)\n",
+              static_cast<long long>(N));
+  return 0;
+}
