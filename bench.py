@@ -260,11 +260,14 @@ def main():
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN))
     sample_gps = phase("sampling", lambda: bench_sampling(trainer), optional=True)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer), optional=True)
-    # batch 256: shows the throughput headroom once the per-step optimizer/
-    # weight traffic amortizes over a bigger batch
+    # batch 256 / 2048: throughput headroom as the per-step optimizer/weight
+    # traffic amortizes; bs=2048 approaches the matmul-bound (MXU) regime
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(_make_trainer(256), N_TRAIN),
                           optional=True)
+    train_eps_2048 = phase("train_bs2048",
+                           lambda: bench_training(_make_trainer(2048), 8192),
+                           optional=True)
 
     base_eps = baseline.get("examples_per_sec")
     rnd = lambda v, p=1: round(v, p) if v is not None else None
@@ -279,6 +282,10 @@ def main():
             "compute_dtype": trainer.config.compute_dtype,
             "batch_size": BATCH,
             "train_examples_per_sec_bs256": rnd(train_eps_256),
+            "train_examples_per_sec_bs2048": rnd(train_eps_2048),
+            "train_tflops_bs2048": (
+                round(train_eps_2048 * 0.7e9 / 1e12, 1)
+                if train_eps_2048 else None),  # ~0.7 GFLOP/example (3x fwd)
             "baseline_examples_per_sec": base_eps,
             "genomes_sampled_per_sec": rnd(sample_gps),
             "genomes_minimized_per_sec": rnd(minimize_gps, 2),

@@ -199,19 +199,31 @@ def unpack_bits(packed: np.ndarray, n: int) -> np.ndarray:
 # activations beyond the logits the caller already has.
 
 def _bce_colsum_kernel(l_ref, y_ref, m_ref, bce_ref, col_ref):
-    j = pl.program_id(0)
+    # grid is (col tiles, row tiles): rows innermost so the per-column
+    # accumulator block is revisited on consecutive steps
+    j = pl.program_id(0)  # col tile
+    i = pl.program_id(1)  # row tile
     l = l_ref[:]
     y = y_ref[:]
     m = m_ref[:]
     per_elem = (jnp.logaddexp(0.0, l) - l * y) * m
     probs = jax.nn.sigmoid(l) * m
 
-    @pl.when(j == 0)
+    @pl.when((i == 0) & (j == 0))
     def _():
         bce_ref[0, 0] = 0.0
 
     bce_ref[0, 0] += jnp.sum(per_elem)
-    col_ref[:] = jnp.sum(probs, axis=0, keepdims=True)
+    tile = jnp.sum(probs, axis=0, keepdims=True)
+
+    # the (1, block_n) col block for j is revisited once per row tile i
+    @pl.when(i == 0)
+    def _():
+        col_ref[:] = tile
+
+    @pl.when(i > 0)
+    def _():
+        col_ref[:] += tile
 
 
 def _bce_colsum_reference(logits, targets, mask):
@@ -221,18 +233,22 @@ def _bce_colsum_reference(logits, targets, mask):
     return jnp.sum(per_elem), jnp.sum(probs, axis=0)
 
 
-@functools.partial(jax.jit, static_argnames=("block_n",))
-def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280):
+@functools.partial(jax.jit, static_argnames=("block_n", "block_m"))
+def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280,
+                     block_m: int = 128):
     M, N = logits.shape
-    if not _on_tpu():
+    block_m = min(block_m, M)
+    # Row padding would corrupt the BCE sum (logaddexp(0,0)=log2 per padded
+    # element); fall back for non-tileable batch sizes (remainder steps).
+    if not _on_tpu() or M % block_m != 0:
         return _bce_colsum_reference(logits, targets, mask)
     Np = round_up(N, block_n)
     if Np != N:
-        # zero-masked padding contributes 0 to both reductions
+        # zero-masked column padding contributes 0 to both reductions
         logits = jnp.pad(logits, ((0, 0), (0, Np - N)))
         targets = jnp.pad(targets, ((0, 0), (0, Np - N)))
         mask = jnp.pad(mask, (0, Np - N))
-    grid = (Np // block_n,)
+    grid = (Np // block_n, M // block_m)  # rows innermost
     mask2d = mask.reshape(1, Np).astype(jnp.float32)
     bce, col = pl.pallas_call(
         _bce_colsum_kernel,
@@ -242,16 +258,16 @@ def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280):
         ),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((M, block_n), lambda j: (0, j),
+            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((M, block_n), lambda j: (0, j),
+            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j: (0, j),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, 1), lambda j: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_n), lambda j: (0, j),
+            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ),
     )(logits.astype(jnp.float32), targets.astype(jnp.float32), mask2d)

@@ -60,8 +60,8 @@ def main():
           f"{'OK' if ok else 'FAIL'}")
     failures += not ok
 
-    # --- fused BCE+colsum kernel vs reference --------------------------
-    Bm, Dm = 32, 55040
+    # --- fused BCE+colsum kernel vs reference (multi-row-tile path) ----
+    Bm, Dm = 256, 55040
     logits = jnp.asarray(rng.randn(Bm, Dm).astype(np.float32))
     targets = jnp.asarray((rng.rand(Bm, Dm) < 0.5).astype(np.float32))
     mask = jnp.ones(Dm).at[55039:].set(0.0)
