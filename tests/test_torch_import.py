@@ -1,0 +1,88 @@
+"""Torch checkpoint importer: a reference saved_VAE state_dict converts to
+our .npz and produces identical decode/encode outputs."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from genome_minimizer_2_tpu.models import vae
+from genome_minimizer_2_tpu.sample.sampler import load_sampler
+from genome_minimizer_2_tpu.utils import torch_import as TI
+
+torch = pytest.importorskip("torch")
+
+from tests._reference import import_reference_module  # noqa: E402
+
+ref_model = import_reference_module("src.genome_minimizer_2.training.model")
+
+D, H, L = 37, 16, 4
+
+
+def test_roundtrip_outputs_match(tmp_path):
+    torch.manual_seed(3)
+    tm = ref_model.VAE(D, H, L)
+    # perturb BN running stats so the import covers them
+    with torch.no_grad():
+        tm.encoder[1].running_mean += 0.3
+        tm.decoder[4].running_var *= 1.7
+    pt = tmp_path / "saved_VAE_v2.pt"
+    torch.save(tm.state_dict(), pt)
+
+    out = tmp_path / "imported.npz"
+    dims = TI.convert_file(str(pt), str(out), trainer_version="v2")
+    assert dims["input_dim"] == D and dims["padded_dim"] == 128
+
+    sampler, config = load_sampler(str(out))
+    assert config.trainer_version == "v2"
+    assert sampler.cfg.input_dim == D
+
+    # decode parity
+    z = np.random.RandomState(0).randn(9, L).astype(np.float32)
+    tm.eval()
+    with torch.no_grad():
+        probs_t = tm.decode(torch.tensor(z)).numpy()
+    logits_j, _ = vae.decode_logits(sampler.cfg, sampler.params,
+                                    sampler.batch_stats, jnp.asarray(z), False)
+    probs_j = np.asarray(jax.nn.sigmoid(logits_j))[:, :D]
+    np.testing.assert_allclose(probs_j, probs_t, atol=2e-5)
+
+    # encode parity (exercises imported BN running stats)
+    x = np.random.RandomState(1).rand(7, D).round().astype(np.float32)
+    with torch.no_grad():
+        mean_t, logvar_t = tm.encode(torch.tensor(x))
+    mean_j, logvar_j, _ = vae.encode(sampler.cfg, sampler.params,
+                                     sampler.batch_stats,
+                                     sampler.cfg.pad_inputs(jnp.asarray(x)),
+                                     False)
+    np.testing.assert_allclose(np.asarray(mean_j), mean_t.numpy(), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(logvar_j), logvar_t.numpy(), atol=2e-5)
+
+
+def test_convert_state_dict_numpy_only():
+    """The pure-numpy path (no torch objects) works too."""
+    rng = np.random.RandomState(0)
+    sd = {}
+    def lin(p, i, o):
+        sd[f"{p}.weight"] = rng.randn(o, i).astype(np.float32)
+        sd[f"{p}.bias"] = rng.randn(o).astype(np.float32)
+    def bn(p, n):
+        sd[f"{p}.weight"] = np.ones(n, np.float32)
+        sd[f"{p}.bias"] = np.zeros(n, np.float32)
+        sd[f"{p}.running_mean"] = np.zeros(n, np.float32)
+        sd[f"{p}.running_var"] = np.ones(n, np.float32)
+    lin("encoder.0", D, H); bn("encoder.1", H)
+    lin("encoder.3", H, H); bn("encoder.4", H)
+    lin("encoder.6", H, H); bn("encoder.7", H)
+    lin("mean_layer", H, L); lin("logvar_layer", H, L)
+    lin("decoder.0", L, H); bn("decoder.1", H)
+    lin("decoder.3", H, H); bn("decoder.4", H)
+    lin("decoder.6", H, H); bn("decoder.7", H)
+    lin("decoder.9", H, D)
+    flat, dims = TI.convert_state_dict(sd)
+    assert dims == {"input_dim": D, "hidden_dim": H, "latent_dim": L,
+                    "padded_dim": 128}
+    assert flat["params/encoder/0/w"].shape == (128, H)
+    assert np.all(flat["params/encoder/0/w"][D:] == 0)
+    assert flat["params/decoder/3/w"].shape == (H, 128)
