@@ -185,18 +185,21 @@ def compute_losses(
     epoch,
     counter,
     feature_mask,
-    fused: bool = False,
+    fused=False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + per-component dict for one batch (LossTracker.compute_total_loss,
     trainer.py:44-56 — without the per-batch host sync).
 
-    ``fused=True`` computes the BCE sum and the abundance column-sum in one
-    memory pass over the logits via the Pallas kernel (closed-form custom
-    VJP); identical math, used on TPU.
+    ``fused`` selects the fused BCE+colsum path: ``True`` uses the Pallas
+    kernel (one memory pass over the logits, closed-form custom VJP —
+    identical math, used on single-device TPU); a callable is used directly
+    (the trainer passes the shard_map-wrapped kernel for DP meshes).
     """
     comps: Dict[str, jnp.ndarray] = {}
     colsum = None
-    if fused:
+    if callable(fused):
+        comps[RECONSTRUCTION], colsum = fused(logits, data, feature_mask)
+    elif fused:
         from .pallas_kernels import bce_and_colsum
 
         comps[RECONSTRUCTION], colsum = bce_and_colsum(logits, data, feature_mask)

@@ -298,3 +298,49 @@ def _bce_colsum_bwd(residuals, cotangents):
 
 
 bce_and_colsum.defvjp(_bce_colsum_fwd, _bce_colsum_bwd)
+
+
+def make_sharded_bce_colsum(mesh, data_axis: str = "data"):
+    """Data-parallel variant of :func:`bce_and_colsum`.
+
+    ``pallas_call`` has no GSPMD partitioning rule, so under a >1-device mesh
+    XLA would gather the sharded batch to run it. This factory instead wraps
+    the kernel in ``shard_map`` over the mesh's data axis: each device runs
+    the one-pass kernel on its own batch shard and the two reductions are
+    combined with ``psum`` over ICI — the same math as the single-device
+    kernel on the global batch (both reductions are sums over rows).
+
+    The backward pass stays the closed form d/dlogits = (g_bce*(s-y) +
+    g_col*s*(1-s))*mask — purely elementwise over the sharded logits, so it
+    needs no shard_map; XLA partitions it along with the rest of the step.
+
+    Requirements (the trainer gates on these): the mesh's other axes are
+    trivial for the logits (model axis size 1 — TP shards the gene axis of
+    the logits, which would break the per-shard column sums), and the batch
+    divides evenly over ``data_axis``.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    def impl(logits, targets, mask):
+        def shard_fn(l, y, m):
+            bce, col = _bce_colsum_impl(l, y, m)
+            return (jax.lax.psum(bce, data_axis),
+                    jax.lax.psum(col, data_axis))
+
+        return jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(P(data_axis, None), P(data_axis, None), P(None)),
+            out_specs=(P(), P(None)),
+            check_vma=False,
+        )(logits, targets, mask)
+
+    @jax.custom_vjp
+    def sharded_bce_and_colsum(logits, targets, mask):
+        return impl(logits, targets, mask)
+
+    def _fwd(logits, targets, mask):
+        return impl(logits, targets, mask), (logits, targets, mask)
+
+    sharded_bce_and_colsum.defvjp(_fwd, _bce_colsum_bwd)
+    return sharded_bce_and_colsum

@@ -160,26 +160,51 @@ class VAETrainer:
             )
         return batch
 
-    def _devices_are_tpu(self) -> bool:
-        """Use the fused Pallas loss only for single-device TPU execution: a
-        pallas_call has no GSPMD partitioning rule, so under a >1-device mesh
-        it could force a gather of the sharded batch (the jnp path partitions
-        cleanly and XLA fuses it well)."""
-        if self.mesh is not None and self.mesh.size > 1:
-            return False
+    def _mesh_platform(self) -> str:
+        """Platform of the devices that will EXECUTE (the mesh's, not the
+        default backend's — they differ in dryrun/mixed setups)."""
         if self.mesh is not None:
-            return next(iter(self.mesh.devices.flat)).platform == "tpu"
-        return jax.default_backend() == "tpu"
+            return next(iter(self.mesh.devices.flat)).platform
+        return jax.default_backend()
+
+    def _fused_for_batch(self, batch_shape) -> object:
+        """Pick the fused Pallas BCE+colsum path for this batch, or None.
+
+        Single-device TPU uses the plain kernel. A data-parallel TPU mesh
+        uses the shard_map-wrapped kernel (per-shard pallas_call + psum over
+        ICI) when the batch divides the data axis and the model axis is
+        trivial (TP shards the gene axis of the logits, which would break
+        the per-shard column sums). Everything else takes the jnp path,
+        which XLA partitions and fuses cleanly.
+        """
+        if not getattr(self.config, "use_pallas_loss", True):
+            return None
+        if self._mesh_platform() != "tpu":
+            return None
+        if self.mesh is None or self.mesh.size == 1:
+            return True  # plain bce_and_colsum
+        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
+
+        if self.mesh.shape.get(MODEL_AXIS, 1) != 1:
+            return None
+        if batch_shape[0] % self.mesh.shape[DATA_AXIS]:
+            return None  # shard_map needs even division (remainder batch)
+        if "sharded_fused" not in self._epoch_fns:
+            from ..ops.pallas_kernels import make_sharded_bce_colsum
+
+            self._epoch_fns["sharded_fused"] = make_sharded_bce_colsum(
+                self.mesh, DATA_AXIS)
+        return self._epoch_fns["sharded_fused"]
 
     def _loss_fn(self, params, batch_stats, batch, key, epoch, counter, train: bool):
         logits, mu, logvar, new_stats = vae.forward(
             self.model_cfg, params, batch_stats, batch, key, train=train
         )
+        fused = self._fused_for_batch(batch.shape)
         total, comps = L.compute_losses(
             self.spec, params, logits, batch, mu, logvar, epoch, counter,
             self.model_cfg.feature_mask(),
-            fused=(getattr(self.config, "use_pallas_loss", True)
-                   and self._devices_are_tpu()),
+            fused=False if fused is None else fused,
         )
         return total, (comps, new_stats)
 
