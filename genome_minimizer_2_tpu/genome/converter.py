@@ -28,14 +28,19 @@ import pandas as pd
 logger = logging.getLogger(__name__)
 
 
-def load_files(essentials_csv_path: str, ids_npy_path: str):
-    """Load the essentials set and gene-list array (binary_converter.py:11-17).
+def load_essential_set(essentials_csv_path: str) -> set:
+    """Load the essential-gene set from its CSV.
 
     Accepts either a '# gene' or 'gene' header column.
     """
     essential_genes = pd.read_csv(essentials_csv_path)
     col = "# gene" if "# gene" in essential_genes.columns else "gene"
-    essential_set = set(essential_genes[col].astype(str).str.strip())
+    return set(essential_genes[col].astype(str).str.strip())
+
+
+def load_files(essentials_csv_path: str, ids_npy_path: str):
+    """Load the essentials set and gene-list array (binary_converter.py:11-17)."""
+    essential_set = load_essential_set(essentials_csv_path)
     id_lists = np.load(ids_npy_path, allow_pickle=True)
     return essential_set, id_lists
 
@@ -70,31 +75,15 @@ def load_masks(masks_npy_path: str) -> np.ndarray:
     return masks
 
 
-def masks_to_gene_lists(
-    masks_npy_path: str,
-    cols: Sequence[str],
-    out_ids_npy: str | None,
-    threshold: float = 0.5,
-) -> List[List[str]]:
-    """Convert binary/continuous masks to per-sample gene-name lists.
+def _gene_lists_for_chunk(rows: np.ndarray, cols: np.ndarray,
+                          keep_mask: np.ndarray, threshold: float
+                          ) -> Tuple[List[List[str]], np.ndarray]:
+    """Threshold a (n, P) chunk and gather per-row gene-name lists.
 
-    Vectorized: one >= threshold comparison over the whole (N, P) matrix,
-    then a column-name gather per row. Output identical to
-    binary_converter.py:19-76 (same dedupe, same >=, same object .npy).
-    """
-    cols = np.asarray(cols)
+    Accepts rows at either the original (pre-dedupe) width or the deduped
+    width; returns (lists, per-row gene counts)."""
+    rows = np.asarray(rows, dtype=float)
     P = len(cols)
-    logger.info("masks: %s", masks_npy_path)
-    logger.info("Resolved %d gene columns", P)
-
-    cols, keep_mask = dedupe_columns(cols)
-    P = len(cols)
-
-    masks = load_masks(masks_npy_path)
-    N = len(masks)
-    logger.info("Masks shape: N=%d samples", N)
-
-    rows = np.asarray(masks, dtype=float)
     if rows.shape[1] != keep_mask.size and rows.shape[1] != P:
         raise ValueError(
             f"Mask rows have length {rows.shape[1]}, but dataset has "
@@ -103,16 +92,74 @@ def masks_to_gene_lists(
     if rows.shape[1] == keep_mask.size and keep_mask.size != P:
         rows = rows[:, keep_mask]
     M = rows >= threshold
+    return [cols[M[i]].tolist() for i in range(len(M))], M.sum(axis=1)
 
-    id_lists: List[List[str]] = [cols[M[i]].tolist() for i in range(N)]
+
+def masks_to_gene_lists(
+    masks_npy_path: str,
+    cols: Sequence[str],
+    out_ids_npy: str | None,
+    threshold: float = 0.5,
+    chunk_size: int = 0,
+) -> List[List[str]]:
+    """Convert binary/continuous masks to per-sample gene-name lists.
+
+    Vectorized: one >= threshold comparison over the whole (N, P) matrix,
+    then a column-name gather per row. Output identical to
+    binary_converter.py:19-76 (same dedupe, same >=, same object .npy).
+
+    ``chunk_size > 0`` streams the masks file in row chunks through a
+    memory map instead of materializing the full float matrix — at
+    100k-genome scale a dense float64 masks file is ~44 GB, far beyond
+    host RAM, while the gene lists themselves are ~100x smaller. Output
+    is identical. Object-dtype (pickled) .npy files cannot be memory-
+    mapped and fall back to the whole-file path.
+    """
+    # object dtype so every row's list shares the SAME str objects (a
+    # unicode array's .tolist() would allocate fresh strings per row —
+    # ~gene_count x n_samples string objects). The reference gets this for
+    # free from the pandas Index (binary_converter.py:62-67).
+    cols = np.asarray(cols, dtype=object)
+    logger.info("masks: %s", masks_npy_path)
+    logger.info("Resolved %d gene columns", len(cols))
+
+    cols, keep_mask = dedupe_columns(cols)
+
+    mm = None
+    if chunk_size and chunk_size > 0:
+        try:
+            mm = np.load(masks_npy_path, mmap_mode="r")
+            if mm.ndim == 1:
+                mm = None  # 1-D needs the coercions in load_masks
+        except ValueError:  # object/pickled array — not mappable
+            logger.info("masks file is not memory-mappable; loading whole")
+            mm = None
+
+    id_lists: List[List[str]] = []
+    size_sum = 0
+    if mm is not None:
+        N = len(mm)
+        logger.info("Masks shape: N=%d samples (streaming, chunk=%d)",
+                    N, chunk_size)
+        for lo in range(0, N, chunk_size):
+            lists, sizes = _gene_lists_for_chunk(
+                mm[lo: lo + chunk_size], cols, keep_mask, threshold)
+            id_lists.extend(lists)
+            size_sum += int(sizes.sum())
+    else:
+        masks = load_masks(masks_npy_path)
+        N = len(masks)
+        logger.info("Masks shape: N=%d samples", N)
+        id_lists, sizes = _gene_lists_for_chunk(masks, cols, keep_mask,
+                                                threshold)
+        size_sum = int(sizes.sum())
 
     if out_ids_npy:
         os.makedirs(os.path.dirname(out_ids_npy) or ".", exist_ok=True)
         np.save(out_ids_npy, np.array(id_lists, dtype=object))
         logger.info("Saved IDs (NPY): %s", out_ids_npy)
 
-    sizes = M.sum(axis=1)
-    print(f"✓ Number of samples processed = {N} | Average gene count = {sizes.mean():.1f}")
+    print(f"✓ Number of samples processed = {N} | Average gene count = {size_sum / max(N, 1):.1f}")
     return id_lists
 
 

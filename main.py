@@ -46,7 +46,9 @@ def parse_arguments(argv=None):
                         help="Run mode ('pipeline' = streaming sample->convert->"
                              "minimize, an extension over the reference)")
     parser.add_argument("--chunk-size", type=int, default=512,
-                        help="Pipeline/sampling device chunk size")
+                        help="Pipeline/sampling device chunk size; also the "
+                             "row-chunk size for streaming convert-samples "
+                             "over memory-mapped mask files (0 = whole-file)")
     parser.add_argument("--preset", choices=["v0", "v1", "v2", "v3"], default="v3",
                         help="Which model preset to run (for training mode)")
     parser.add_argument("--epochs", type=int, default=None,
@@ -358,7 +360,7 @@ def run_binary_converter(args) -> bool:
 
     from genome_minimizer_2_tpu.genome.converter import (
         check_essential_genes,
-        load_files,
+        load_essential_set,
         masks_to_gene_lists,
     )
 
@@ -376,9 +378,12 @@ def run_binary_converter(args) -> bool:
     print(f"Dataset shape (samples x genes): {data_transpose.shape}")
     cols = data_transpose.columns
 
-    masks_to_gene_lists(masks_npy_path=args.genes_path, cols=cols,
-                        out_ids_npy=out_path)
-    essential_set, id_lists = load_files(directories.paper_essential_genes(), out_path)
+    # keep the in-memory lists instead of re-loading the .npy just written
+    # (a full duplicate copy at 100k-genome scale)
+    id_lists = masks_to_gene_lists(masks_npy_path=args.genes_path, cols=cols,
+                                   out_ids_npy=out_path,
+                                   chunk_size=args.chunk_size)
+    essential_set = load_essential_set(directories.paper_essential_genes())
     filled_path = check_essential_genes(essential_set, id_lists, out_path)
     print("✓ Binary conversion complete")
     print(f"- Gene lists: {out_path}")

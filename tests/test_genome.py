@@ -221,6 +221,42 @@ def test_masks_threshold_is_geq_half():
         assert lists == [["x"]]
 
 
+def test_masks_to_gene_lists_streaming_identical(tmp_path):
+    """chunk_size > 0 streams through a memory map; outputs (return value
+    AND saved .npy) must be identical to the whole-file path, including
+    ragged chunk tails and the dedupe-width acceptance."""
+    rng = np.random.RandomState(5)
+    cols = np.array([f"g{i:03d}" for i in range(37)])
+    cols[7] = cols[3]  # duplicate -> dedupe keeps first
+    masks = rng.rand(23, 37)
+    mpath = tmp_path / "masks.npy"
+    np.save(mpath, masks)
+
+    out_w = tmp_path / "whole.npy"
+    out_s = tmp_path / "stream.npy"
+    whole = C.masks_to_gene_lists(str(mpath), cols, str(out_w), chunk_size=0)
+    for chunk in (1, 7, 23, 100):
+        streamed = C.masks_to_gene_lists(str(mpath), cols, str(out_s),
+                                         chunk_size=chunk)
+        assert streamed == whole, f"chunk_size={chunk}"
+    lw = np.load(out_w, allow_pickle=True)
+    ls = np.load(out_s, allow_pickle=True)
+    assert all(list(a) == list(b) for a, b in zip(lw, ls))
+
+
+def test_masks_to_gene_lists_streaming_object_fallback(tmp_path):
+    """Object-dtype (pickled) mask files cannot be memory-mapped; the
+    streaming path must fall back to the whole-file coercions."""
+    masks = np.empty(2, dtype=object)
+    masks[0] = [0.9, 0.1, 0.7]
+    masks[1] = [0.0, 1.0, 0.2]
+    mpath = tmp_path / "obj.npy"
+    np.save(mpath, masks, allow_pickle=True)
+    cols = np.array(["a", "b", "c"])
+    lists = C.masks_to_gene_lists(str(mpath), cols, None, chunk_size=8)
+    assert lists == [["a", "c"], ["b"]]
+
+
 def test_check_essential_genes_sorted_union(tmp_path):
     id_lists = [["zeta", "beta"], ["alpha", "beta", "essZ"]]
     essential_set = {"essZ", "essA"}
