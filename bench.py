@@ -185,10 +185,11 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     return n_genomes / dt
 
 
-def bench_pipeline(trainer, n_genomes: int = 128) -> float:
+def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128) -> float:
     """End-to-end genomes sampled+minimized/s (the BASELINE.json headline
     secondary metric): streaming pipeline with the flagship model dims and a
-    synthetic E. coli-scale genome."""
+    synthetic E. coli-scale genome. Multi-chunk so the software pipelining
+    (TPU decodes chunk k+1 while the host minimizes chunk k) is exercised."""
     import jax
     import numpy as np
 
@@ -212,17 +213,17 @@ def bench_pipeline(trainer, n_genomes: int = 128) -> float:
                              seq_bytes=seq_bytes)
     state = trainer.init_state()
     s = Sampler(cfg=trainer.model_cfg, params=state.params,
-                batch_stats=state.batch_stats, chunk_size=n_genomes)
+                batch_stats=state.batch_stats, chunk_size=chunk)
     essential_set = {f"gene{i:05d}" for i in range(40)}
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_pipeline.fasta")
     # warmup at the SAME chunk shape (remote kernel compiles on this rig
     # cost ~60s per program); the metric is the steady-state rate
-    sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
-                        key=jax.random.key(0), chunk_size=n_genomes,
+    sample_and_minimize(s, engine, cols, essential_set, chunk, out,
+                        key=jax.random.key(0), chunk_size=chunk,
                         process_index=0, process_count=1)
     stats = sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
-                                key=jax.random.key(0), chunk_size=n_genomes,
+                                key=jax.random.key(0), chunk_size=chunk,
                                 process_index=0, process_count=1)
     os.remove(out)
     return stats.rate()

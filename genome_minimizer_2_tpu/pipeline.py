@@ -23,6 +23,7 @@ import functools
 import logging
 import os
 import time
+from collections import deque
 from typing import Sequence
 
 import jax
@@ -72,6 +73,7 @@ def sample_and_minimize(
     process_count: int | None = None,
     merge: bool = True,
     write_header: bool = True,
+    prefetch: int = 2,
 ) -> PipelineStats:
     """Stream ``num_samples`` synthetic genomes into ``output_file``.
 
@@ -110,12 +112,33 @@ def sample_and_minimize(
 
     latent_dim = sampler.cfg.latent_dim
 
-    for lo in range(lo_all, hi_all, chunk_size):
-        hi = min(lo + chunk_size, hi_all)
-        # -- sample: decode latents to binary masks (packed on-device) ----
+    # Software pipelining: the latents never leave the device (z is drawn
+    # and decoded in one dispatch chain), and up to ``prefetch`` chunks are
+    # enqueued ahead so the TPU decodes chunk k+1..k+P while the host
+    # converts/minimizes chunk k. sample_s below therefore measures time
+    # *blocked on* the device+transfer, not device time itself.
+    spans = [(lo, min(lo + chunk_size, hi_all))
+             for lo in range(lo_all, hi_all, chunk_size)]
+
+    def submit(span):
+        lo, hi = span
+        z = _draw_z(key, jnp.arange(lo, hi), latent_dim)
+        return lo, hi, sampler.decode_packed_device(z)
+
+    it = iter(spans)
+    pending: deque = deque()
+    for _ in range(min(max(1, prefetch), len(spans))):
+        pending.append(submit(next(it)))
+
+    while pending:
+        lo, hi, dev = pending.popleft()
+        nxt = next(it, None)
+        if nxt is not None:
+            pending.append(submit(nxt))
+
+        # -- sample: wait for the packed bitmask of this chunk ------------
         t0 = time.perf_counter()
-        z = np.asarray(_draw_z(key, jnp.arange(lo, hi), latent_dim))
-        binary = sampler.decode_binary(z)
+        binary = sampler.unpack_packed(dev)
         stats.sample_s += time.perf_counter() - t0
 
         # -- convert: masks -> per-feature drop masks (vectorized) --------

@@ -107,6 +107,28 @@ class Sampler:
         packed = self._decode_chunked(z, self._decode_packed, trim=(D + 7) // 8)
         return unpack_bits(packed, D)
 
+    def decode_packed_device(self, z) -> jax.Array:
+        """Enqueue the fused decode of ONE chunk; return the on-device packed
+        bitmask WITHOUT blocking (JAX async dispatch), with the device->host
+        copy started eagerly. The pipeline uses this to overlap TPU decoding
+        of chunk k+1 with host-side convert/minimize of chunk k."""
+        out = self._decode_packed(
+            self.params, self.batch_stats,
+            z if isinstance(z, jax.Array) else jnp.asarray(z))
+        try:
+            out.copy_to_host_async()
+        except Exception:  # pragma: no cover — backend-dependent
+            pass
+        return out
+
+    def unpack_packed(self, packed) -> np.ndarray:
+        """Host-side finish of decode_packed_device: trim padding columns and
+        unpack bits to a uint8 (N, input_dim) mask."""
+        from ..ops.pallas_kernels import unpack_bits
+
+        D = self.cfg.input_dim
+        return unpack_bits(np.asarray(packed)[:, : (D + 7) // 8], D)
+
     # -- public API ---------------------------------------------------------
 
     def sample(
