@@ -40,12 +40,25 @@ def maybe_initialize(force: bool = False) -> bool:
 
     Returns True when distributed mode is active.
     """
-    if jax.process_count() > 1:
-        return True
+    # NB: must not touch jax.process_count()/devices() before initialize —
+    # that would instantiate the backends and make initialize a hard error
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     if not (force or running_under_multihost_env()):
         return False
+    # Explicit coordinator config (manual pods / CPU gloo multi-controller);
+    # TPU pods auto-detect all three and need no env.
+    kwargs = {}
+    coord = (os.environ.get("JAX_COORDINATOR_ADDRESS")
+             or os.environ.get("COORDINATOR_ADDRESS"))
+    if coord:
+        kwargs["coordinator_address"] = coord
+    if os.environ.get("JAX_NUM_PROCESSES"):
+        kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+    if os.environ.get("JAX_PROCESS_ID"):
+        kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
     try:
-        jax.distributed.initialize()
+        jax.distributed.initialize(**kwargs)
         logger.info("jax.distributed initialized: process %d/%d, %d devices",
                     jax.process_index(), jax.process_count(),
                     len(jax.devices()))

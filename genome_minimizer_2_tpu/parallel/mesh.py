@@ -57,6 +57,25 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(leaf, sharding: NamedSharding):
+    """Place a host (or single-device) array onto a mesh-wide sharding.
+
+    Single-controller: plain ``jax.device_put``. Multi-controller (a real
+    pod, ``jax.process_count() > 1``): ``device_put`` cannot target
+    non-addressable devices, so build the global array from per-shard
+    callbacks over a full host copy — each process materializes only its
+    addressable shards. ``leaf`` must hold identical values on every process
+    (true for seeded init and replicated train state).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(leaf, sharding)
+    if hasattr(leaf, "dtype") and jax.dtypes.issubdtype(leaf.dtype, jax.dtypes.prng_key):
+        data = put_global(np.asarray(jax.random.key_data(leaf)), sharding)
+        return jax.random.wrap_key_data(data)
+    x = np.asarray(leaf)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def param_sharding(mesh: Mesh, path: str, shape: tuple[int, ...]) -> NamedSharding:
     """Sharding rule for a parameter leaf.
 

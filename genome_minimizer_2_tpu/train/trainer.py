@@ -292,23 +292,23 @@ class VAETrainer:
         over 'model'), everything else replicated."""
         if self.mesh is None:
             return state
-        from ..parallel.mesh import param_sharding, replicated
+        from ..parallel.mesh import param_sharding, put_global, replicated
 
         def put_tree(tree):
             def put(path, leaf):
                 pstr = "/".join(_path_str(p) for p in path)
-                return jax.device_put(
+                return put_global(
                     leaf, param_sharding(self.mesh, pstr, np.shape(leaf)))
             return jax.tree_util.tree_map_with_path(put, tree)
 
         rep = replicated(self.mesh)
         return TrainState(
             params=put_tree(state.params),
-            batch_stats=jax.tree.map(lambda x: jax.device_put(x, rep),
+            batch_stats=jax.tree.map(lambda x: put_global(x, rep),
                                      state.batch_stats),
             opt_state=put_tree(state.opt_state),
-            counter=jax.device_put(state.counter, rep),
-            rng=jax.device_put(state.rng, rep),
+            counter=put_global(state.counter, rep),
+            rng=put_global(state.rng, rep),
         )
 
     # -- public API --------------------------------------------------------
@@ -318,7 +318,9 @@ class VAETrainer:
         x = np.asarray(x, np.float32)
         arr = self.model_cfg.pad_inputs(jnp.asarray(x))
         if self.mesh is not None:
-            arr = jax.device_put(arr, NamedSharding(self.mesh, P()))
+            from ..parallel.mesh import put_global
+
+            arr = put_global(arr, NamedSharding(self.mesh, P()))
         return arr
 
     def train(

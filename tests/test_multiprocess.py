@@ -1,0 +1,89 @@
+"""Real multi-controller training: N coordinated processes, gloo TCP
+collectives on the CPU backend — the execution model of a multi-host TPU pod
+(SURVEY.md §2.3), not the in-process virtual-device simulation of
+test_multichip.py. Verifies jax.distributed bring-up via
+parallel.distributed.maybe_initialize (env-driven coordinator config),
+cross-process replication of the train state (parallel.mesh.put_global), and
+numerical parity of the data-parallel loss histories with a single-process
+run."""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+WORKER = os.path.join(REPO, "tests", "_mp_worker.py")
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def _gloo_available() -> bool:
+    try:
+        from jax._src.lib import _jax
+
+        return hasattr(_jax, "make_gloo_tcp_collectives")
+    except Exception:
+        return False
+
+
+@pytest.mark.skipif(not _gloo_available(),
+                    reason="jaxlib without gloo TCP collectives")
+def test_two_process_dp_training_matches_single_process():
+    nproc = 2
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(i), str(nproc), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    for i, p in enumerate(procs):
+        try:
+            out, err = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"worker {i} timed out")
+        assert p.returncode == 0, f"worker {i} failed:\n{err[-3000:]}"
+        outs.append(json.loads(out.strip().splitlines()[-1]))
+
+    # every process observed identical replicated loss histories
+    assert outs[0]["epochs"] == outs[1]["epochs"] == 2
+    np.testing.assert_array_equal(outs[0]["train"], outs[1]["train"])
+    np.testing.assert_array_equal(outs[0]["val"], outs[1]["val"])
+
+    # single-process reference on the same data/config/seed (this process,
+    # 1-device mesh: conftest already pinned the CPU platform)
+    from genome_minimizer_2_tpu.train import trainer as T
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    D = 70
+    rng = np.random.RandomState(0)
+    train_x = rng.rand(44, D).round().astype(np.float32)
+    val_x = rng.rand(13, D).round().astype(np.float32)
+    cfg = ExperimentConfig(hidden_dim=16, latent_dim=4, n_epochs=2,
+                           batch_size=8, trainer_version="v3",
+                           print_every=1000)
+    ref = T.create_trainer("v3", cfg, input_dim=D)
+    tl_ref, vl_ref, _ = ref.train(train_x, val_x)
+
+    np.testing.assert_allclose(outs[0]["train"], tl_ref, rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(outs[0]["val"], vl_ref, rtol=2e-4, atol=1e-5)
