@@ -39,6 +39,24 @@ FULL = Policy("float32")
 MIXED = Policy("bfloat16")
 
 
+def resolve_compute_dtype(name: str, platform: str | None = None) -> str:
+    """Resolve a configured compute dtype, where ``"auto"`` means bfloat16 on
+    TPU and float32 elsewhere. ``platform`` should be the platform of the
+    devices that will EXECUTE (a mesh's, when training over one) — not
+    necessarily ``jax.default_backend()``."""
+    if name != "auto":
+        return name
+    if platform is None:
+        import jax
+
+        platform = jax.default_backend()
+    return "bfloat16" if platform == "tpu" else "float32"
+
+
+def resolve_policy(name: str, platform: str | None = None) -> Policy:
+    return Policy(resolve_compute_dtype(name, platform))
+
+
 def round_up(x: int, multiple: int) -> int:
     """Round ``x`` up to the nearest multiple (TPU lane/sublane alignment)."""
     return ((x + multiple - 1) // multiple) * multiple

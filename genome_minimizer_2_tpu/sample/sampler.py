@@ -187,7 +187,7 @@ class Sampler:
 def load_sampler(checkpoint_path: str, input_dim: int | None = None) -> Tuple[Sampler, "ExperimentConfig"]:
     """Rebuild a Sampler from a checkpoint (load_model, extras.py:166-189 —
     but the architecture comes from the stored config, not the filename)."""
-    from ..core.dtypes import Policy
+    from ..core.dtypes import resolve_policy
     from ..utils import checkpoint as ckpt
     from ..utils.config import ExperimentConfig
 
@@ -200,7 +200,7 @@ def load_sampler(checkpoint_path: str, input_dim: int | None = None) -> Tuple[Sa
         hidden_dim=config.hidden_dim,
         latent_dim=config.latent_dim,
         pad_features=config.pad_features,
-        policy=Policy(config.compute_dtype),
+        policy=resolve_policy(config.compute_dtype),
     )
     template_p, template_s = vae.init(cfg, jax.random.key(0))
     params = ckpt.unflatten_into(template_p, flat_p)

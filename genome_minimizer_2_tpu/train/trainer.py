@@ -429,14 +429,16 @@ def create_trainer(
     mesh: Mesh | None = None,
 ) -> VAETrainer:
     """Build the preset trainer (create_v{0..3}_trainer, trainer.py:193-257)."""
-    from ..core.dtypes import Policy
+    from ..core.dtypes import resolve_policy
 
+    platform = (next(iter(mesh.devices.flat)).platform
+                if mesh is not None else None)
     model_cfg = vae.VAEConfig(
         input_dim=input_dim,
         hidden_dim=config.hidden_dim,
         latent_dim=config.latent_dim,
         pad_features=config.pad_features,
-        policy=Policy(config.compute_dtype),
+        policy=resolve_policy(config.compute_dtype, platform),
     )
     spec = L.spec_for_preset(version, config)
     return VAETrainer(model_cfg, spec, config, mesh=mesh)
@@ -533,14 +535,16 @@ class VAETrainerBuilder:
         return self
 
     def build(self) -> VAETrainer:
-        from ..core.dtypes import Policy
+        from ..core.dtypes import resolve_policy
 
+        platform = (next(iter(self._mesh.devices.flat)).platform
+                    if self._mesh is not None else None)
         model_cfg = vae.VAEConfig(
             input_dim=self._input_dim,
             hidden_dim=self._config.hidden_dim,
             latent_dim=self._config.latent_dim,
             pad_features=self._config.pad_features,
-            policy=Policy(self._config.compute_dtype),
+            policy=resolve_policy(self._config.compute_dtype, platform),
         )
         spec = L.LossSpec(**self._spec_kwargs)
         return VAETrainer(model_cfg, spec, self._config, mesh=self._mesh)

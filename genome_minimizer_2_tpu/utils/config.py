@@ -60,7 +60,7 @@ class ExperimentConfig:
 
     # --- TPU-native extensions (not in the reference) ---
     seed: int = 0                 # jax.random root seed
-    compute_dtype: str = "float32"  # 'float32' or 'bfloat16'
+    compute_dtype: str = "auto"   # 'auto' (bf16 on TPU, f32 elsewhere) / explicit
     data_parallel: int = 1        # mesh 'data' axis size (0 = all devices)
     model_parallel: int = 1      # mesh 'model' axis size
     pad_features: bool = True     # pad gene axis to a multiple of 128 lanes
@@ -272,8 +272,10 @@ def add_config_arguments(parser: argparse.ArgumentParser):
 
     tpu_group = parser.add_argument_group("TPU Parameters")
     # (--seed is owned by the host CLI, which defines it for every mode)
-    tpu_group.add_argument("--compute-dtype", choices=["float32", "bfloat16"],
-                           help="Matmul compute dtype")
+    tpu_group.add_argument("--compute-dtype",
+                           choices=["auto", "float32", "bfloat16"],
+                           help="Matmul compute dtype ('auto' = bfloat16 on "
+                                "TPU, float32 elsewhere)")
     tpu_group.add_argument("--data-parallel", type=int, help="Mesh data-axis size (0=all)")
     tpu_group.add_argument("--model-parallel", type=int, help="Mesh model-axis size")
 

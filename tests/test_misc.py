@@ -74,3 +74,28 @@ def test_dtype_policy():
     assert Policy("bfloat16").param_dtype == jnp.float32
     assert round_up(55039, 128) == 55040
     assert round_up(128, 128) == 128
+
+
+def test_auto_compute_dtype_resolution():
+    from genome_minimizer_2_tpu.core.dtypes import resolve_compute_dtype
+
+    assert resolve_compute_dtype("auto", "tpu") == "bfloat16"
+    assert resolve_compute_dtype("auto", "cpu") == "float32"
+    assert resolve_compute_dtype("float32", "tpu") == "float32"
+    assert resolve_compute_dtype("bfloat16", "cpu") == "bfloat16"
+    # platform=None -> default backend (cpu under the test conftest)
+    assert resolve_compute_dtype("auto") == "float32"
+
+    # the trainer resolves through the mesh's platform
+    import jax
+
+    from genome_minimizer_2_tpu.parallel import mesh as MESH
+    from genome_minimizer_2_tpu.train.trainer import create_trainer
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    cfg = ExperimentConfig(hidden_dim=8, latent_dim=2)
+    assert cfg.compute_dtype == "auto"
+    tr = create_trainer("v0", cfg, input_dim=16,
+                        mesh=MESH.make_mesh(data=2, model=1,
+                                            devices=jax.devices()[:2]))
+    assert tr.model_cfg.policy.compute == "float32"
