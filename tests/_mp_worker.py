@@ -49,12 +49,18 @@ val_x = rng.rand(13, D).round().astype(np.float32)
 lo, hi = DIST.host_shard(44)
 assert 0 <= lo <= hi <= 44
 
-cfg = ExperimentConfig(hidden_dim=16, latent_dim=4, n_epochs=2, batch_size=8,
-                       trainer_version="v3", print_every=1000)
-mesh = MESH.make_mesh()  # all global devices on the data axis
-assert mesh.size == 2 * nproc
-trainer = T.create_trainer("v3", cfg, input_dim=D, mesh=mesh)
-state = trainer.shard_state(trainer.init_state())
-tl, vl, epochs = trainer.train(train_x, val_x, state=state)
-print(json.dumps({"pid": pid, "train": tl, "val": vl, "epochs": epochs}),
-      flush=True)
+results = {"pid": pid}
+n_dev = 2 * nproc
+# DP over all global devices, then TP with the model axis spanning processes
+# (cross-process placement of model-sharded params via put_global)
+for label, (data, model) in (("dp", (n_dev, 1)), ("tp", (n_dev // 2, 2))):
+    cfg = ExperimentConfig(hidden_dim=16, latent_dim=4, n_epochs=2,
+                           batch_size=8, trainer_version="v3",
+                           print_every=1000)
+    mesh = MESH.make_mesh(data=data, model=model)
+    assert mesh.size == n_dev
+    trainer = T.create_trainer("v3", cfg, input_dim=D, mesh=mesh)
+    state = trainer.shard_state(trainer.init_state())
+    tl, vl, epochs = trainer.train(train_x, val_x, state=state)
+    results[label] = {"train": tl, "val": vl, "epochs": epochs}
+print(json.dumps(results), flush=True)

@@ -66,9 +66,12 @@ def test_two_process_dp_training_matches_single_process():
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
     # every process observed identical replicated loss histories
-    assert outs[0]["epochs"] == outs[1]["epochs"] == 2
-    np.testing.assert_array_equal(outs[0]["train"], outs[1]["train"])
-    np.testing.assert_array_equal(outs[0]["val"], outs[1]["val"])
+    for label in ("dp", "tp"):
+        assert outs[0][label]["epochs"] == outs[1][label]["epochs"] == 2
+        np.testing.assert_array_equal(outs[0][label]["train"],
+                                      outs[1][label]["train"])
+        np.testing.assert_array_equal(outs[0][label]["val"],
+                                      outs[1][label]["val"])
 
     # single-process reference on the same data/config/seed (this process,
     # 1-device mesh: conftest already pinned the CPU platform)
@@ -85,5 +88,8 @@ def test_two_process_dp_training_matches_single_process():
     ref = T.create_trainer("v3", cfg, input_dim=D)
     tl_ref, vl_ref, _ = ref.train(train_x, val_x)
 
-    np.testing.assert_allclose(outs[0]["train"], tl_ref, rtol=2e-4, atol=1e-5)
-    np.testing.assert_allclose(outs[0]["val"], vl_ref, rtol=2e-4, atol=1e-5)
+    for label in ("dp", "tp"):
+        np.testing.assert_allclose(outs[0][label]["train"], tl_ref,
+                                   rtol=2e-4, atol=1e-5)
+        np.testing.assert_allclose(outs[0][label]["val"], vl_ref,
+                                   rtol=2e-4, atol=1e-5)
