@@ -253,14 +253,25 @@ def main():
         print(f"[bench] {name}: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
         return r
 
+    def best_of(fn, n=3):
+        # Host-sensitive phases (native minimize, transfer-bound sampling,
+        # the streaming pipeline) share this host's 2 cores with the TPU
+        # client's service/transfer threads; a descheduled minimize thread
+        # can inflate a single trial 5x. Steady-state = best of n trials.
+        def run():
+            return max(fn() for _ in range(n))
+        return run
+
     backend = jax.default_backend()
     # minimize first: it is pure CPU and the TPU client's service threads
     # contend for this host's 2 cores once device work starts
-    minimize_gps = phase("minimize", bench_minimizer)
+    minimize_gps = phase("minimize", best_of(bench_minimizer))
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN))
-    sample_gps = phase("sampling", lambda: bench_sampling(trainer), optional=True)
-    pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer), optional=True)
+    sample_gps = phase("sampling", best_of(lambda: bench_sampling(trainer)),
+                       optional=True)
+    pipeline_gps = phase("pipeline", best_of(lambda: bench_pipeline(trainer)),
+                         optional=True)
     # batch 256 / 2048: throughput headroom as the per-step optimizer/weight
     # traffic amortizes; bs=2048 approaches the matmul-bound (MXU) regime
     train_eps_256 = phase("train_bs256",
