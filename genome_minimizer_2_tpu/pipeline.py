@@ -138,7 +138,7 @@ def sample_and_minimize(
 
         # -- sample: wait for the packed bitmask of this chunk ------------
         t0 = time.perf_counter()
-        binary = sampler.unpack_packed(dev)
+        binary = sampler.unpack_packed(dev, rows=hi - lo)
         stats.sample_s += time.perf_counter() - t0
 
         # -- convert: masks -> per-feature drop masks (vectorized) --------

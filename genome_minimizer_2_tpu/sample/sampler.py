@@ -33,18 +33,53 @@ from ..models import vae
 
 @dataclasses.dataclass
 class Sampler:
-    """Wraps trained model state for batch decoding/encoding."""
+    """Wraps trained model state for batch decoding/encoding.
+
+    With a multi-device ``mesh`` (absent in the reference — sampling there is
+    single-device, extras.py:192-203), each decode chunk's latent rows shard
+    over the mesh's 'data' axis: decoding is embarrassingly parallel, so
+    chips never communicate, and the packed-bitmask output stays row-sharded
+    until the host gathers it. Outputs are bitwise identical to the
+    single-device path for any mesh shape (per-row determinism).
+    """
 
     cfg: vae.VAEConfig
     params: vae.Params
     batch_stats: vae.BatchStats
     chunk_size: int = 1024
+    mesh: "jax.sharding.Mesh | None" = None
+
+    def _mesh_platform(self) -> str:
+        if self.mesh is not None:
+            return next(iter(self.mesh.devices.flat)).platform
+        return jax.default_backend()
+
+    def _row_parallel(self) -> int:
+        """Devices the row (sample) axis spreads over."""
+        if self.mesh is None:
+            return 1
+        from ..parallel.mesh import DATA_AXIS
+
+        return self.mesh.shape.get(DATA_AXIS, 1)
+
+    def _jit_rowwise(self, fn, out_row_sharded: bool = True):
+        """jit ``fn(params, stats, rows)`` with the row operand (and output)
+        sharded over the mesh's data axis; replicated state."""
+        if self.mesh is None or self.mesh.size == 1:
+            return jax.jit(fn)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import DATA_AXIS
+
+        rep = NamedSharding(self.mesh, P())
+        row = NamedSharding(self.mesh, P(DATA_AXIS, None))
+        return jax.jit(fn, in_shardings=(rep, rep, row),
+                       out_shardings=row if out_row_sharded else rep)
 
     def __post_init__(self):
         cfg = self.cfg
 
-        @jax.jit
-        def _decode_packed(params, stats, z):
+        def _packed_core(params, stats, z):
             # Fused output matmul + threshold + bitpack (Pallas on TPU):
             # 8x smaller device->host transfer for sampled genomes.
             from ..ops import pallas_kernels as PK
@@ -54,25 +89,42 @@ class Sampler:
             return PK.decode_threshold_pack(h, out["w"], out["b"],
                                             compute_dtype=cfg.policy.compute_dtype)
 
-        @jax.jit
-        def _decode_binary(params, stats, z):
+        if (self.mesh is not None and self.mesh.size > 1
+                and self._mesh_platform() == "tpu"):
+            # pallas_call has no GSPMD rule — shard_map it over the data
+            # axis (per-chip kernel, no collectives: rows are independent)
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.mesh import DATA_AXIS
+
+            mesh = self.mesh
+
+            def _decode_packed_fn(params, stats, z):
+                return jax.shard_map(
+                    _packed_core, mesh=mesh,
+                    in_specs=(P(), P(), P(DATA_AXIS, None)),
+                    out_specs=P(DATA_AXIS, None),
+                    check_vma=False,
+                )(params, stats, z)
+        else:
+            _decode_packed_fn = _packed_core
+
+        def _decode_binary_fn(params, stats, z):
             logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
             return (logits > 0.0).astype(jnp.uint8)  # sigmoid(x) > 0.5
 
-        @jax.jit
-        def _decode_probs(params, stats, z):
+        def _decode_probs_fn(params, stats, z):
             logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
             return jax.nn.sigmoid(logits)
 
-        @jax.jit
-        def _encode_mean(params, stats, x):
+        def _encode_mean_fn(params, stats, x):
             mean, _, _ = vae.encode(cfg, params, stats, x, train=False)
             return mean
 
-        self._decode_packed = _decode_packed
-        self._decode_binary = _decode_binary
-        self._decode_probs = _decode_probs
-        self._encode_mean = _encode_mean
+        self._decode_packed = self._jit_rowwise(_decode_packed_fn)
+        self._decode_binary = self._jit_rowwise(_decode_binary_fn)
+        self._decode_probs = self._jit_rowwise(_decode_probs_fn)
+        self._encode_mean = self._jit_rowwise(_encode_mean_fn)
 
     # -- helpers ------------------------------------------------------------
 
@@ -84,14 +136,20 @@ class Sampler:
         """Run fn over fixed-size chunks (padding the tail so only one program
         is compiled), trimming padding and the feature axis to ``trim``
         columns (default: input_dim)."""
+        from ..core.dtypes import round_up
+
         n = z.shape[0]
         D = self.cfg.input_dim if trim is None else trim
         outs = []
         for lo, hi in self._chunks(n):
             chunk = z[lo:hi]
-            pad = 0
-            if hi - lo < self.chunk_size and n > self.chunk_size:
-                pad = self.chunk_size - (hi - lo)
+            # pad the tail chunk to the full chunk shape (one compiled
+            # program) and every chunk's rows to the mesh's data-axis size
+            target = self.chunk_size if (hi - lo < self.chunk_size
+                                         and n > self.chunk_size) else hi - lo
+            target = round_up(target, self._row_parallel())
+            pad = target - (hi - lo)
+            if pad:
                 chunk = np.concatenate([chunk, np.zeros((pad,) + z.shape[1:], z.dtype)])
             out = np.asarray(fn(self.params, self.batch_stats, jnp.asarray(chunk)))
             if pad:
@@ -111,23 +169,33 @@ class Sampler:
         """Enqueue the fused decode of ONE chunk; return the on-device packed
         bitmask WITHOUT blocking (JAX async dispatch), with the device->host
         copy started eagerly. The pipeline uses this to overlap TPU decoding
-        of chunk k+1 with host-side convert/minimize of chunk k."""
-        out = self._decode_packed(
-            self.params, self.batch_stats,
-            z if isinstance(z, jax.Array) else jnp.asarray(z))
+        of chunk k+1 with host-side convert/minimize of chunk k.
+
+        Rows pad up to the mesh's data-axis size; pass the true row count to
+        :meth:`unpack_packed` to trim."""
+        from ..core.dtypes import round_up
+
+        z = z if isinstance(z, jax.Array) else jnp.asarray(z)
+        pad = round_up(z.shape[0], self._row_parallel()) - z.shape[0]
+        if pad:
+            z = jnp.pad(z, ((0, pad), (0, 0)))
+        out = self._decode_packed(self.params, self.batch_stats, z)
         try:
             out.copy_to_host_async()
         except Exception:  # pragma: no cover — backend-dependent
             pass
         return out
 
-    def unpack_packed(self, packed) -> np.ndarray:
-        """Host-side finish of decode_packed_device: trim padding columns and
-        unpack bits to a uint8 (N, input_dim) mask."""
+    def unpack_packed(self, packed, rows: int | None = None) -> np.ndarray:
+        """Host-side finish of decode_packed_device: trim padding rows/columns
+        and unpack bits to a uint8 (rows, input_dim) mask."""
         from ..ops.pallas_kernels import unpack_bits
 
         D = self.cfg.input_dim
-        return unpack_bits(np.asarray(packed)[:, : (D + 7) // 8], D)
+        packed = np.asarray(packed)
+        if rows is not None:
+            packed = packed[:rows]
+        return unpack_bits(packed[:, : (D + 7) // 8], D)
 
     # -- public API ---------------------------------------------------------
 
@@ -176,17 +244,27 @@ class Sampler:
     def encode_means(self, x: np.ndarray, batch_size: int = 32) -> np.ndarray:
         """Latent means over a dataset in eval mode (get_latent_variables,
         extras.py:205-228)."""
+        from ..core.dtypes import round_up
+
         x = np.asarray(x, np.float32)
         outs = []
         for lo in range(0, x.shape[0], batch_size):
-            chunk = self.cfg.pad_inputs(jnp.asarray(x[lo : lo + batch_size]))
-            outs.append(np.asarray(self._encode_mean(self.params, self.batch_stats, chunk)))
+            rows = x[lo : lo + batch_size]
+            pad = round_up(rows.shape[0], self._row_parallel()) - rows.shape[0]
+            if pad:
+                rows = np.concatenate([rows, np.zeros((pad, x.shape[1]), x.dtype)])
+            chunk = self.cfg.pad_inputs(jnp.asarray(rows))
+            mean = np.asarray(self._encode_mean(self.params, self.batch_stats, chunk))
+            outs.append(mean[: rows.shape[0] - pad])
         return np.concatenate(outs, axis=0)
 
 
-def load_sampler(checkpoint_path: str, input_dim: int | None = None) -> Tuple[Sampler, "ExperimentConfig"]:
+def load_sampler(checkpoint_path: str, input_dim: int | None = None,
+                 mesh: "jax.sharding.Mesh | None" = None,
+                 ) -> Tuple[Sampler, "ExperimentConfig"]:
     """Rebuild a Sampler from a checkpoint (load_model, extras.py:166-189 —
-    but the architecture comes from the stored config, not the filename)."""
+    but the architecture comes from the stored config, not the filename).
+    Pass a ``mesh`` to shard decoding over its 'data' axis (multi-chip)."""
     from ..core.dtypes import resolve_policy
     from ..utils import checkpoint as ckpt
     from ..utils.config import ExperimentConfig
@@ -200,12 +278,22 @@ def load_sampler(checkpoint_path: str, input_dim: int | None = None) -> Tuple[Sa
         hidden_dim=config.hidden_dim,
         latent_dim=config.latent_dim,
         pad_features=config.pad_features,
-        policy=resolve_policy(config.compute_dtype),
+        policy=resolve_policy(
+            config.compute_dtype,
+            next(iter(mesh.devices.flat)).platform if mesh is not None else None),
     )
     template_p, template_s = vae.init(cfg, jax.random.key(0))
     params = ckpt.unflatten_into(template_p, flat_p)
     stats = ckpt.unflatten_into(template_s, flat_s)
-    return Sampler(cfg=cfg, params=params, batch_stats=stats), config
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.mesh import put_global
+
+        rep = NamedSharding(mesh, P())
+        params = jax.tree.map(lambda x: put_global(x, rep), params)
+        stats = jax.tree.map(lambda x: put_global(x, rep), stats)
+    return Sampler(cfg=cfg, params=params, batch_stats=stats, mesh=mesh), config
 
 
 # ---------------------------------------------------------------------------
