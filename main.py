@@ -82,7 +82,25 @@ def parse_arguments(argv=None):
     known_args, _ = parser.parse_known_args(argv)
     if known_args.mode == "experiment":
         add_config_arguments(parser)
+    else:
+        # mesh flags for the non-experiment modes (experiment gets them from
+        # the full config group above): preset training consumes both axes,
+        # sample/pipeline shard decode chunks over the data axis
+        parser.add_argument("--data-parallel", type=int, default=1,
+                            help="Mesh data-axis size (0 = all devices)")
+        parser.add_argument("--model-parallel", type=int, default=1,
+                            help="Mesh model-axis size (training only)")
     return parser.parse_args(argv)
+
+
+def _sampling_mesh(args):
+    """('data',)-only mesh for sample/pipeline modes, or None."""
+    dp = getattr(args, "data_parallel", 1) or None  # 0 -> all devices
+    if dp == 1:
+        return None
+    from genome_minimizer_2_tpu.parallel.mesh import make_mesh
+
+    return make_mesh(data=dp, model=1)
 
 
 def check_data_availability() -> bool:
@@ -179,7 +197,8 @@ def run_sampling(args) -> bool:
 
     print(f"Detected input dimension: {matrix.n_genes}")
     print(f"Loading model from: {args.model_path}")
-    sampler, config = SMP.load_sampler(args.model_path, input_dim=matrix.n_genes)
+    sampler, config = SMP.load_sampler(args.model_path, input_dim=matrix.n_genes,
+                                       mesh=_sampling_mesh(args))
     model_name = config.trainer_version
 
     output_dir = (directories.project_root() / "models" / f"{model_name}_model"
@@ -258,6 +277,8 @@ def run_single_experiment(args):
     if args.epochs:
         config.n_epochs = args.epochs
     config.seed = args.seed
+    config.data_parallel = getattr(args, "data_parallel", 1)
+    config.model_parallel = getattr(args, "model_parallel", 1)
 
     print(f"\n{'=' * 80}")
     print(f"Running {config.experiment_name} experiment")
@@ -419,7 +440,8 @@ def run_pipeline(args) -> bool:
     col = "# gene" if "# gene" in ess.columns else "gene"
     essential_set = set(ess[col].astype(str).str.strip())
 
-    sampler, config = SMP.load_sampler(args.model_path, input_dim=len(cols))
+    sampler, config = SMP.load_sampler(args.model_path, input_dim=len(cols),
+                                       mesh=_sampling_mesh(args))
     engine = MinimizerEngine.from_genbank(args.genome_path)
     out = args.output_file or f"minimized_genomes_{args.model_name}.fasta"
 

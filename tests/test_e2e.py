@@ -79,6 +79,13 @@ def test_full_pipeline(cli_root, tmp_path):
     assert samples.shape == (20, 120)
     assert (sdir / "v1_data_full_samples_df.csv").exists()
 
+    # -- mesh-parallel sampling (decode sharded over the 8 CPU devices)
+    # must be bitwise identical to the single-device run above
+    rc = cli.main(["--mode", "sample", "--model-path", str(ckpt),
+                   "--num-samples", "20", "--data-parallel", "8"])
+    assert rc == 0
+    np.testing.assert_array_equal(np.load(samples_npy), samples)
+
     # -- focused sampling ------------------------------------------------
     rc = cli.main(["--mode", "sample", "--model-path", str(ckpt),
                    "--num-samples", "5", "--sampling-mode", "focused",
