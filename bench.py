@@ -257,9 +257,15 @@ def main():
         # Host-sensitive phases (native minimize, transfer-bound sampling,
         # the streaming pipeline) share this host's 2 cores with the TPU
         # client's service/transfer threads; a descheduled minimize thread
-        # can inflate a single trial 5x. Steady-state = best of n trials.
+        # can inflate a single trial 5x. Steady-state = best of n trials,
+        # stopping early if the soft deadline passes between trials.
         def run():
-            return max(fn() for _ in range(n))
+            best = fn()
+            for _ in range(n - 1):
+                if time.perf_counter() - t_start > budget:
+                    break
+                best = max(best, fn())
+            return best
         return run
 
     backend = jax.default_backend()
