@@ -208,6 +208,16 @@ class VAETrainer:
         )
         return total, (comps, new_stats)
 
+    def _use_fused_optimizer(self) -> bool:
+        """Fused clip+Adam+apply Pallas kernel: single-device TPU execution
+        only (pallas_call has no GSPMD rule; DP/TP meshes keep the optax
+        chain, which XLA partitions over replicated state)."""
+        if not getattr(self.config, "use_pallas_optimizer", True):
+            return False
+        if self._mesh_platform() != "tpu":
+            return False
+        return self.mesh is None or self.mesh.size == 1
+
     def _train_step(self, state: TrainState, batch, epoch, lr):
         batch = self._constrain_batch(batch)
         rng, key = jax.random.split(state.rng)
@@ -218,9 +228,17 @@ class VAETrainer:
             has_aux=True,
         )
         (_, (comps, new_stats)), grads = grad_fn(state.params)
-        updates, new_opt = self.tx.update(grads, state.opt_state, state.params)
-        updates = jax.tree.map(lambda u: (-lr) * u, updates)
-        params = optax.apply_updates(state.params, updates)
+        if self._use_fused_optimizer():
+            from ..ops.optimizer import fused_clip_adam_apply
+
+            params, new_opt = fused_clip_adam_apply(
+                grads, state.opt_state, state.params, lr,
+                max_norm=self.config.max_norm)
+        else:
+            updates, new_opt = self.tx.update(grads, state.opt_state,
+                                              state.params)
+            updates = jax.tree.map(lambda u: (-lr) * u, updates)
+            params = optax.apply_updates(state.params, updates)
         new_state = TrainState(
             params=params,
             batch_stats=new_stats,

@@ -65,6 +65,7 @@ class ExperimentConfig:
     model_parallel: int = 1      # mesh 'model' axis size
     pad_features: bool = True     # pad gene axis to a multiple of 128 lanes
     use_pallas_loss: bool = True  # fused BCE+colsum kernel (jnp fallback off-TPU)
+    use_pallas_optimizer: bool = True  # fused clip+Adam+apply kernel (TPU only)
 
     # Early stopping (TrainingConfig in trainer.py:23-31; presets set patience)
     patience: int = 10

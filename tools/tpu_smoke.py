@@ -90,6 +90,28 @@ def main():
     print(f"bce_and_colsum grad: max|diff|={gerr:.2e} {'OK' if ok else 'FAIL'}")
     failures += not ok
 
+    # --- fused clip+Adam+apply kernel vs the jnp math -------------------
+    from genome_minimizer_2_tpu.ops import optimizer as FO
+
+    shape = (55040, 1024)  # the flagship wide-layer leaf
+    g = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    m = jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.1)
+    v = jnp.abs(jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.01))
+    p = jnp.asarray(rng.randn(*shape).astype(np.float32))
+    norm = jnp.sqrt(jnp.sum(g * g))
+    scalars = jnp.stack([norm, jnp.float32(1 - 0.9 ** 3),
+                         jnp.float32(1 - 0.999 ** 3),
+                         jnp.float32(1e-3)]).reshape(1, 4)
+    got = FO._fused_leaf_pallas(g, m, v, p, scalars, max_norm=1.0)
+    want = FO._adam_math(g, m, v, p, norm, scalars[0, 1], scalars[0, 2],
+                         scalars[0, 3], max_norm=1.0)
+    errs = [float(jnp.max(jnp.abs(a - b))) for a, b in zip(got, want)]
+    scale = [float(jnp.max(jnp.abs(b))) for b in want]
+    ok = all(e <= 1e-6 * max(1.0, s) for e, s in zip(errs, scale))
+    print(f"fused_adam_update: max|diff| m/v/p = "
+          f"{errs[0]:.2e}/{errs[1]:.2e}/{errs[2]:.2e} {'OK' if ok else 'FAIL'}")
+    failures += not ok
+
     # --- sampler packed path vs dense logits path ----------------------
     cfg = vae.VAEConfig(input_dim=55039, hidden_dim=512, latent_dim=32,
                         policy=Policy("bfloat16"))
