@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..core.prng import key_for_index
 from ..models import vae
 
 
@@ -65,7 +66,7 @@ def reconstruct_binary(
     x = np.asarray(x, np.float32)
     for i, lo in enumerate(range(0, x.shape[0], batch_size)):
         batch = cfg.pad_inputs(jnp.asarray(x[lo : lo + batch_size]))
-        k = jax.random.fold_in(key, i)
+        k = key_for_index(key, i)
         outs.append(np.asarray(fwd(params, batch_stats, batch, k))[:, : cfg.input_dim])
     return np.concatenate(outs, axis=0)
 
@@ -114,7 +115,7 @@ def calculate_reconstruction_loss_breakdown(
     x = np.asarray(test_x, np.float32)
     for i, lo in enumerate(range(0, x.shape[0], batch_size)):
         batch = cfg.pad_inputs(jnp.asarray(x[lo : lo + batch_size]))
-        r, k_ = fwd(params, batch_stats, batch, jax.random.fold_in(key, i))
+        r, k_ = fwd(params, batch_stats, batch, key_for_index(key, i))
         total_recon += float(r)
         total_kl += float(k_)
         n += batch.shape[0]

@@ -166,7 +166,9 @@ def create_essential_genes_distribution_plot(essential_genes_df, out_dir: Path):
 
 def create_pca_phylogroup_plot(merged_df: pd.DataFrame, out_dir: Path):
     """Figure 2a (data_exploration.py:394-420)."""
-    gene_data = merged_df.iloc[:, :-1].values
+    # presence/absence values are {0,1}: extract at uint8, not pandas' int64
+    # (~4.4 GB for the real 10k x 55k) — the PCA streams it chunk-wise
+    gene_data = merged_df.iloc[:, :-1].to_numpy(dtype=np.uint8)
     phylogroups = merged_df["Phylogroup"].values
     data_pca, ratio = pca_fit_transform(gene_data, 2)
     df_pca = pd.DataFrame(data_pca, columns=["PC1", "PC2"])

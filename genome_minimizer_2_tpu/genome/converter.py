@@ -113,7 +113,9 @@ def masks_to_gene_lists(
     100k-genome scale a dense float64 masks file is ~44 GB, far beyond
     host RAM, while the gene lists themselves are ~100x smaller. Output
     is identical. Object-dtype (pickled) .npy files cannot be memory-
-    mapped and fall back to the whole-file path.
+    mapped — the pickle must be deserialized whole — but their row->dense
+    conversion IS chunked, so the additional dense float64 copy (which
+    would double peak RSS) is bounded at chunk_size rows.
     """
     # object dtype so every row's list shares the SAME str objects (a
     # unicode array's .tolist() would allocate fresh strings per row —
@@ -147,12 +149,28 @@ def masks_to_gene_lists(
             id_lists.extend(lists)
             size_sum += int(sizes.sum())
     else:
-        masks = load_masks(masks_npy_path)
-        N = len(masks)
-        logger.info("Masks shape: N=%d samples", N)
-        id_lists, sizes = _gene_lists_for_chunk(masks, cols, keep_mask,
-                                                threshold)
-        size_sum = int(sizes.sum())
+        masks = np.load(masks_npy_path, allow_pickle=True)
+        is_rowwise_object = (masks.ndim == 1 and len(masks)
+                             and isinstance(masks[0], (list, np.ndarray)))
+        N = len(masks) if is_rowwise_object or masks.ndim > 1 else 1
+        step = chunk_size if (chunk_size and is_rowwise_object) else N
+        logger.info("Masks shape: N=%d samples%s", N,
+                    f" (object rows, chunk={step})" if is_rowwise_object else "")
+        if is_rowwise_object:
+            # chunk the dense conversion: never stack all rows at once
+            for lo in range(0, N, step):
+                dense = np.stack([np.asarray(r, dtype=float)
+                                  for r in masks[lo: lo + step]])
+                lists, sizes = _gene_lists_for_chunk(dense, cols, keep_mask,
+                                                     threshold)
+                id_lists.extend(lists)
+                size_sum += int(sizes.sum())
+        else:
+            if masks.ndim == 1:
+                masks = masks[None, :]
+            id_lists, sizes = _gene_lists_for_chunk(masks, cols, keep_mask,
+                                                    threshold)
+            size_sum = int(sizes.sum())
 
     if out_ids_npy:
         os.makedirs(os.path.dirname(out_ids_npy) or ".", exist_ok=True)

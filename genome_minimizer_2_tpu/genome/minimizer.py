@@ -577,19 +577,24 @@ def process_sharded(
     lo = pi * n // pc
     hi = (pi + 1) * n // pc
 
-    shard_path = f"{output_file}.shard{pi:05d}"
+    from ..parallel import barrier
+
+    shard_path = barrier.shard_file(output_file, pi)
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
     engine.minimize_batch_to_fasta(all_lists[lo:hi], shard_path, start_index=lo)
+    barrier.mark_shard_done(shard_path)
 
     if not merge or pi != 0:
         return None
-    # host 0 merges (in a real pod, after a barrier; shards on shared fs)
+    # host 0 merges after the sentinel barrier — every shard is fully written
+    # and fsync'd before any shard is read (shards on shared fs)
+    shard_paths = barrier.wait_for_shards(output_file, pc)
     with open(output_file, "w") as out:
         out.write(f"# Minimized genomes generated using model: {model_name}\n")
         out.write(f"# Total genomes: {n}\n")
         out.write(f"# Generated on: {np.datetime64('now')}\n")
-        for k in range(pc):
-            sp = f"{output_file}.shard{k:05d}"
+        for sp in shard_paths:
             with open(sp) as f:
                 out.write(f.read())
+    barrier.clear_sentinels(output_file, pc)
     return output_file

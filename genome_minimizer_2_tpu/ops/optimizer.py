@@ -88,6 +88,10 @@ def _pallas_shape(x) -> tuple[int, int] | None:
 @functools.partial(jax.jit, static_argnames=("max_norm", "interpret"))
 def _fused_leaf_pallas(g, m, v, p, scalars, *, max_norm: float,
                        interpret: bool = False):
+    if pltpu is None:  # pallas TPU backend absent on this build
+        raise RuntimeError(
+            "jax.experimental.pallas.tpu unavailable — the fused Adam kernel "
+            "cannot run; callers must gate on _leaf_on_pallas()")
     rows, lane = _pallas_shape(g)
     g2, m2, v2, p2 = (x.reshape(rows, lane) for x in (g, m, v, p))
     grid = (rows // _BLOCK_M,)
@@ -108,15 +112,23 @@ def _fused_leaf_pallas(g, m, v, p, scalars, *, max_norm: float,
     return tuple(o.reshape(g.shape) for o in out)
 
 
-def _leaf_on_pallas(x) -> bool:
-    from .pallas_kernels import _on_tpu
+def _leaf_on_pallas(x, platform: str | None = None) -> bool:
+    """Whether this leaf takes the Pallas kernel.
 
-    return (_on_tpu() and x.size >= _MIN_PALLAS_ELEMS
+    ``platform`` is the platform of the devices that will EXECUTE (the
+    trainer passes its mesh's platform) — gating on jax.default_backend()
+    would silently skip the kernel in mixed setups where a TPU mesh executes
+    under a CPU default platform (CLAUDE.md dryrun/mixed-context rule).
+    """
+    if platform is None:
+        platform = jax.default_backend()
+    return (pltpu is not None and platform == "tpu"
+            and x.size >= _MIN_PALLAS_ELEMS
             and x.dtype == jnp.float32 and _pallas_shape(x) is not None)
 
 
 def fused_clip_adam_apply(grads, opt_state, params, lr, *, max_norm: float,
-                          use_pallas: bool = True):
+                          use_pallas: bool = True, platform: str | None = None):
     """One-pass replacement for ``tx.update`` + LR scale + ``apply_updates``.
 
     Args:
@@ -146,7 +158,7 @@ def fused_clip_adam_apply(grads, opt_state, params, lr, *, max_norm: float,
 
     new_m, new_v, new_p = [], [], []
     for g, m, v, p in zip(g_leaves, m_leaves, v_leaves, p_leaves):
-        if use_pallas and _leaf_on_pallas(g):
+        if use_pallas and _leaf_on_pallas(g, platform):
             mn, vn, pn = _fused_leaf_pallas(g, m, v, p, scalars,
                                             max_norm=max_norm)
         else:

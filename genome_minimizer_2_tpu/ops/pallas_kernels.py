@@ -204,7 +204,7 @@ def _bce_colsum_kernel(l_ref, y_ref, m_ref, bce_ref, col_ref):
     j = pl.program_id(0)  # col tile
     i = pl.program_id(1)  # row tile
     l = l_ref[:]
-    y = y_ref[:]
+    y = y_ref[:].astype(jnp.float32)  # targets may be stored bf16 ({0,1} exact)
     m = m_ref[:]
     per_elem = (jnp.logaddexp(0.0, l) - l * y) * m
     probs = jax.nn.sigmoid(l) * m
@@ -270,8 +270,8 @@ def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280,
             pl.BlockSpec((1, block_n), lambda j, i: (0, j),
                          memory_space=pltpu.VMEM),
         ),
-    )(logits.astype(jnp.float32), targets.astype(jnp.float32), mask2d)
-    return bce[0, 0], col[0, :N]
+    )(logits.astype(jnp.float32), targets, mask2d)  # targets read at native
+    return bce[0, 0], col[0, :N]                    # width (bf16 or f32)
 
 
 @jax.custom_vjp

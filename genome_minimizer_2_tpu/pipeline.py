@@ -19,7 +19,6 @@ FASTA records are '>Minimized_E_coli_K12_MG1655_{i+1}\\n{seq}\\n'.
 from __future__ import annotations
 
 import dataclasses
-import functools
 import logging
 import os
 import time
@@ -30,21 +29,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .core.prng import draw_latents
 from .genome.converter import dedupe_columns
 from .genome.minimizer import MinimizerEngine
 from .sample.sampler import Sampler
 
 logger = logging.getLogger(__name__)
-
-
-@functools.partial(jax.jit, static_argnames=("latent_dim",))
-def _draw_z(key, indices, latent_dim: int):
-    """z for sample i from fold_in(key, i) — deterministic per sample index,
-    so shard/chunk boundaries never change results. Module-level jit: the
-    compiled program is shared across pipeline invocations."""
-    return jax.vmap(
-        lambda i: jax.random.normal(jax.random.fold_in(key, i), (latent_dim,))
-    )(indices)
 
 
 @dataclasses.dataclass
@@ -98,8 +88,10 @@ def sample_and_minimize(
     lo_all = pi * num_samples // pc
     hi_all = (pi + 1) * num_samples // pc
 
+    from .parallel import barrier
+
     sharded = pc > 1
-    shard_path = f"{output_file}.shard{pi:05d}" if sharded else output_file
+    shard_path = barrier.shard_file(output_file, pi) if sharded else output_file
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
 
     stats = PipelineStats()
@@ -122,7 +114,11 @@ def sample_and_minimize(
 
     def submit(span):
         lo, hi = span
-        z = _draw_z(key, jnp.arange(lo, hi), latent_dim)
+        # fixed chunk_size shapes end-to-end (indices AND decode) so the tail
+        # chunk reuses the steady-state compiled programs; rows >= hi are
+        # decoded but trimmed by unpack_packed(rows=hi-lo) below
+        idx = jnp.arange(lo, lo + chunk_size)
+        z = draw_latents(key, idx, latent_dim)
         return lo, hi, sampler.decode_packed_device(z)
 
     it = iter(spans)
@@ -154,17 +150,23 @@ def sample_and_minimize(
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 
+    if sharded:
+        barrier.mark_shard_done(shard_path)
     stats.total_s = time.perf_counter() - t_start
 
     if sharded and merge and pi == 0:
+        # sentinel barrier: every host's shard is complete before merging —
+        # a straggler host must not produce a truncated FASTA
+        shard_paths = barrier.wait_for_shards(output_file, pc)
         with open(output_file, "w") as out:
             if write_header:
                 out.write(f"# Minimized genomes generated using model: {model_name}\n")
                 out.write(f"# Total genomes: {num_samples}\n")
                 out.write(f"# Generated on: {np.datetime64('now')}\n")
-            for k in range(pc):
-                with open(f"{output_file}.shard{k:05d}") as f:
+            for sp in shard_paths:
+                with open(sp) as f:
                     out.write(f.read())
+        barrier.clear_sentinels(output_file, pc)
     logger.info("pipeline: %d genomes in %.2fs (%.1f/s) — sample %.2fs, "
                 "convert %.2fs, minimize %.2fs", stats.genomes, stats.total_s,
                 stats.rate(), stats.sample_s, stats.convert_s, stats.minimize_s)

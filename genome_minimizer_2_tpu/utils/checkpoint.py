@@ -15,6 +15,7 @@ save-only).
 from __future__ import annotations
 
 import json
+import os
 from pathlib import Path
 from typing import Any, Dict, Tuple
 
@@ -26,13 +27,46 @@ from .config import ExperimentConfig
 _CONFIG_KEY = "__config_json__"
 
 
+def _to_host(leaf) -> np.ndarray:
+    """Materialize a leaf on this host.
+
+    A leaf sharded ACROSS processes (cross-process tensor parallelism —
+    parallel/mesh.py shards the wide layers' gene axis over the global mesh)
+    is not fully addressable from any one host; gather it collectively.
+    Every process must call this (it is a collective), even though only
+    host 0 writes the file.
+    """
+    if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+        from jax.experimental import multihost_utils
+
+        return np.asarray(multihost_utils.process_allgather(leaf, tiled=True))
+    return np.asarray(leaf)
+
+
 def _flatten(tree: Any, prefix: str) -> Dict[str, np.ndarray]:
     flat = {}
     leaves_with_paths = jax.tree_util.tree_flatten_with_path(tree)[0]
     for path, leaf in leaves_with_paths:
         key = prefix + "/".join(_path_str(p) for p in path)
-        flat[key] = np.asarray(leaf)
+        flat[key] = _to_host(leaf)
     return flat
+
+
+def _write_npz(path: Path, arrays: Dict[str, np.ndarray]) -> None:
+    """Host-0-only atomic write: tmp file + rename, so a host lost mid-save
+    never leaves a truncated checkpoint (restart-after-failure reads either
+    the previous complete checkpoint or the new complete one)."""
+    if jax.process_index() != 0:
+        return
+    path.parent.mkdir(parents=True, exist_ok=True)
+    if path.suffix != ".npz":  # np.savez's extension coercion
+        path = path.with_name(path.name + ".npz")
+    tmp = path.with_name(path.name + ".tmp")
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
 
 
 def _path_str(entry) -> str:
@@ -50,10 +84,8 @@ def save_checkpoint(
     config: ExperimentConfig,
     extra: Dict[str, Any] | None = None,
 ) -> None:
-    if jax.process_index() != 0:
-        return
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
+    # NB: _flatten is collective under cross-process sharding — every
+    # process runs it; only host 0 writes (enforced in _write_npz).
     arrays = {}
     arrays.update(_flatten(params, "params/"))
     arrays.update(_flatten(batch_stats, "batch_stats/"))
@@ -61,7 +93,7 @@ def save_checkpoint(
     arrays[_CONFIG_KEY] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
-    np.savez(path, **arrays)
+    _write_npz(Path(path), arrays)
 
 
 def load_checkpoint(path: str | Path) -> Tuple[Dict, Dict, ExperimentConfig, Dict]:
@@ -92,20 +124,16 @@ def save_train_state(
     """Full mid-training checkpoint: params + BN stats + optimizer state +
     the cosine-beta counter + PRNG key — everything needed for bit-exact
     resume (the reference is save-only, SURVEY.md §5)."""
-    if jax.process_index() != 0:
-        return
-    path = Path(path)
-    path.parent.mkdir(parents=True, exist_ok=True)
     arrays = {}
     arrays.update(_flatten(state.params, "params/"))
     arrays.update(_flatten(state.batch_stats, "batch_stats/"))
     arrays.update(_flatten(state.opt_state, "opt_state/"))
-    arrays["counter"] = np.asarray(state.counter)
-    arrays["rng_key_data"] = np.asarray(jax.random.key_data(state.rng))
+    arrays["counter"] = _to_host(state.counter)
+    arrays["rng_key_data"] = _to_host(jax.random.key_data(state.rng))
     meta = {"config": config.to_dict(), "extra": dict(extra or {}, epoch=epoch)}
     arrays[_CONFIG_KEY] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8)
-    np.savez(path, **arrays)
+    _write_npz(Path(path), arrays)
 
 
 def load_train_state(path: str | Path, trainer):

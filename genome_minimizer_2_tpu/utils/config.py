@@ -64,6 +64,8 @@ class ExperimentConfig:
     data_parallel: int = 1        # mesh 'data' axis size (0 = all devices)
     model_parallel: int = 1      # mesh 'model' axis size
     pad_features: bool = True     # pad gene axis to a multiple of 128 lanes
+    shard_data: bool = True       # row-shard training data over the mesh's
+                                  # 'data' axis (False = replicate per device)
     use_pallas_loss: bool = True  # fused BCE+colsum kernel (jnp fallback off-TPU)
     use_pallas_optimizer: bool = True  # fused clip+Adam+apply kernel (TPU only)
 

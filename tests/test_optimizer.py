@@ -55,6 +55,8 @@ def test_fused_matches_optax_chain(grad_scale):
                                            rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.skipif(FO.pltpu is None,
+                    reason="pallas TPU backend unavailable on this build")
 def test_pallas_kernel_matches_jnp_path_interpret():
     """The Pallas kernel body (interpret mode on CPU) vs the jnp math."""
     rng = np.random.RandomState(1)
@@ -86,3 +88,36 @@ def test_trainer_gates_fused_optimizer_off_tpu():
         assert not trainer._use_fused_optimizer()
     cfg.use_pallas_optimizer = False
     assert not trainer._use_fused_optimizer()
+
+
+def test_trainer_fused_optimizer_gates_on_mesh_platform(monkeypatch):
+    """The positive gate: a single-device TPU mesh selects the fused path;
+    a multi-device TPU mesh deselects it (pallas_call has no GSPMD rule).
+    The platform comes from _mesh_platform(), not jax.default_backend()."""
+    from genome_minimizer_2_tpu.train.trainer import VAETrainer, create_trainer
+    from genome_minimizer_2_tpu.utils.config import get_v0_config
+
+    cfg = get_v0_config()
+    trainer = create_trainer("v0", cfg, input_dim=64)
+    monkeypatch.setattr(VAETrainer, "_mesh_platform", lambda self: "tpu")
+
+    assert trainer.mesh is None
+    assert trainer._use_fused_optimizer()  # mesh=None + tpu platform => True
+
+    class FakeMesh:
+        size = 8
+    trainer.mesh = FakeMesh()
+    assert not trainer._use_fused_optimizer()
+
+    trainer.mesh = None
+    cfg.use_pallas_optimizer = False
+    assert not trainer._use_fused_optimizer()
+
+
+def test_leaf_on_pallas_gates_on_executing_platform():
+    """_leaf_on_pallas must honor the passed platform (the executing mesh's),
+    not jax.default_backend() — the CLAUDE.md dryrun/mixed-context rule."""
+    x = jnp.zeros((2048, 1024), jnp.float32)  # tiles cleanly, >= 1M elems
+    assert not FO._leaf_on_pallas(x, platform="cpu")
+    expected_on_tpu = FO.pltpu is not None
+    assert FO._leaf_on_pallas(x, platform="tpu") == expected_on_tpu
