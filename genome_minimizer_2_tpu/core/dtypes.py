@@ -31,6 +31,17 @@ class Policy:
     def param_dtype(self):
         return jnp.float32
 
+    @property
+    def logits_dtype(self):
+        """Storage dtype for the (B, ~55k) decoder logits.
+
+        bf16 under the mixed policy: the matmul still accumulates f32
+        in-register; only the HBM materialization narrows. The logits tensor
+        and its cotangent are the largest activations in the step — f32
+        storage costs ~2.7 GB/step of HBM traffic at bs=2048.
+        """
+        return self.compute_dtype
+
     def cast_compute(self, x):
         return x.astype(self.compute_dtype)
 

@@ -109,6 +109,50 @@ def write_essential_genes_csv(
     return out
 
 
+def genbank_spec(
+    genes: list[str],
+    genome_length: int = 5000,
+    seed: int = 0,
+) -> dict:
+    """Ground-truth spec for a synthetic GenBank record.
+
+    Returns ``{"seq": lowercase acgt str, "features": [(loc_str, name_or_None,
+    start0, end0, locus_tag_or_None), ...]}`` where (start0, end0) is the
+    0-based half-open OVERALL span of the location — exactly what BioPython
+    exposes as ``feature.location.start/.end`` for simple, complement() and
+    join() locations. Tests use this spec to construct SeqRecord objects
+    directly (tests/_bio_shim.py), so golden comparisons against the actual
+    reference minimizer share only this data, none of our parsing code.
+    """
+    rng = np.random.RandomState(seed + 3)
+    seq = "".join(rng.choice(_BASES, size=genome_length))
+
+    features: list[list] = []  # [loc_str, name|None, start0, end0, tag|None]
+    pos = 10
+    gi = 0
+    while pos + 120 < genome_length and gi < len(genes):
+        length = int(rng.randint(40, 120))
+        start, end = pos + 1, pos + length  # GenBank is 1-based inclusive
+        r = rng.rand()
+        if r < 0.12:
+            loc = f"complement({start}..{end})"
+        elif r < 0.2 and end + 30 < genome_length:
+            mid = start + length // 3
+            loc = f"join({start}..{mid},{mid + 10}..{end})"
+        else:
+            loc = f"{start}..{end}"
+        name = genes[gi] if rng.rand() > 0.05 else None  # some unnamed genes
+        features.append([loc, name, start - 1, end, None])
+        gi += 1
+        pos = end + int(rng.randint(5, 40))
+    # locus tags draw in a second pass (same RNG order as the original
+    # writer, which drew them while emitting lines) — byte-stable output
+    for f in features:
+        if f[1] is not None:
+            f[4] = f"b{rng.randint(0, 9999):04d}"
+    return {"seq": seq, "features": [tuple(f) for f in features]}
+
+
 def write_genbank(
     path: str | os.PathLike,
     genes: list[str],
@@ -124,28 +168,8 @@ def write_genbank(
     minimizer_2.py:61). Returns the genome sequence string (lowercase acgt,
     as BioPython would parse from the ORIGIN block).
     """
-    rng = np.random.RandomState(seed + 3)
-    seq = "".join(rng.choice(_BASES, size=genome_length))
-
-    features: list[tuple[str, str]] = []  # (location_str, gene_name or None)
-    pos = 10
-    gi = 0
-    while pos + 120 < genome_length and gi < len(genes):
-        length = int(rng.randint(40, 120))
-        start, end = pos + 1, pos + length  # GenBank is 1-based inclusive
-        r = rng.rand()
-        if r < 0.12:
-            loc = f"complement({start}..{end})"
-        elif r < 0.2 and end + 30 < genome_length:
-            mid = start + length // 3
-            loc = f"join({start}..{mid},{mid + 10}..{end})"
-            end = end  # overall span start..end
-        else:
-            loc = f"{start}..{end}"
-        name = genes[gi] if rng.rand() > 0.05 else None  # some unnamed genes
-        features.append((loc, name))
-        gi += 1
-        pos = end + int(rng.randint(5, 40))
+    spec = genbank_spec(genes, genome_length, seed)
+    seq = spec["seq"]
 
     lines = []
     lines.append(
@@ -159,11 +183,11 @@ def write_genbank(
     lines.append("FEATURES             Location/Qualifiers")
     lines.append(f"     source          1..{genome_length}")
     lines.append(f'                     /organism="{organism}"')
-    for loc, name in features:
+    for loc, name, _s0, _e0, tag in spec["features"]:
         lines.append(f"     gene            {loc}")
         if name is not None:
             lines.append(f'                     /gene="{name}"')
-            lines.append(f'                     /locus_tag="b{rng.randint(0, 9999):04d}"')
+            lines.append(f'                     /locus_tag="{tag}"')
     lines.append("ORIGIN")
     for i in range(0, genome_length, 60):
         chunk = seq[i : i + 60]

@@ -6,7 +6,13 @@ utils/extras.py:20-163, 231-255): latent-space PCA by phylogroup, latent
 dimension histograms, original-vs-reconstruction examples, the 2x2 training
 summary panel, loss-vs-epoch curves, genome-size and essential-gene
 distributions, essential-vs-total scatter, and F1/accuracy histograms.
-All figures save as PDF with the reference's figure sizes/colors.
+
+The figure *content* (panel layout, axis labels, colors, the summary stats
+block) is an output artifact users of the reference expect to keep — those
+surfaces are declared in PARITY.md §output-parity. The construction here is
+the framework's own: small composable panel builders (histogram-with-marker,
+curve set, stats text) driven by per-figure specs, instead of the
+reference's straight-line matplotlib scripts.
 """
 
 from __future__ import annotations
@@ -28,37 +34,123 @@ except ImportError:  # pragma: no cover
 
 from .pca import pca_fit_transform
 
+# ---------------------------------------------------------------------------
+# Panel builders — the building blocks every figure below composes
+# ---------------------------------------------------------------------------
 
-def _stat_legend(values, median_color="b"):
-    median = np.median(values)
+
+def _save_pdf(path: str) -> None:
+    plt.savefig(path, format="pdf", bbox_inches="tight")
+    plt.close()
+
+
+def _hist_panel(ax, values, *, color: str, bins=None, hist_range=None,
+                edgecolor=None, alpha=1.0, marker: str = "",
+                marker_color: str = "red", marker_style: str = "--",
+                marker_alpha: float = 1.0, xlabel: str = "",
+                ylabel: str = "Frequency", title: str = "", grid: bool = False,
+                legend: bool = True, label_fmt: str = "{stat}: {val:.3f}"):
+    """Histogram with an optional central-tendency marker line.
+
+    ``marker`` is '' (none), 'mean' or 'median'; the marker line carries a
+    legend entry formatted by ``label_fmt``.
+    """
+    values = np.asarray(values)
+    kwargs = {}
+    if bins is not None:
+        kwargs["bins"] = bins
+    if hist_range is not None:
+        kwargs["range"] = hist_range
+    if edgecolor is not None:
+        kwargs["edgecolor"] = edgecolor
+    ax.hist(values, color=color, alpha=alpha, **kwargs)
+    if marker:
+        stat_val = float(np.mean(values) if marker == "mean"
+                         else np.median(values))
+        ax.axvline(stat_val, color=marker_color, linestyle=marker_style,
+                   alpha=marker_alpha,
+                   label=label_fmt.format(stat=marker.capitalize(),
+                                          val=stat_val))
+        if legend:
+            ax.legend()
+    if xlabel:
+        ax.set_xlabel(xlabel)
+    if ylabel:
+        ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    if grid:
+        ax.grid(True, alpha=0.3)
+
+
+def _curves_panel(ax, x, series, *, xlabel: str, ylabel: str,
+                  title: str = "", grid: bool = False):
+    """Overlayed line series: [(values, label, color), ...]."""
+    for values, label, color in series:
+        ax.plot(x, values, label=label, color=color, alpha=0.8)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+    if title:
+        ax.set_title(title)
+    ax.legend()
+    if grid:
+        ax.grid(True, alpha=0.3)
+
+
+def _stats_block(title: str, sections: list[tuple[str, list[tuple[str, str]]]]
+                 ) -> str:
+    """Render a stats text block: a title, then labeled sections of
+    (name, value) rows — the reference summary panel's content
+    (visualise.py:221-245) built from data instead of a literal."""
+    lines = ["", f"    {title}", ""]
+    for heading, rows in sections:
+        if heading:
+            lines.append(f"    {heading}")
+            lines.extend(f"    - {name} {value}" for name, value in rows)
+        else:
+            lines.extend(f"    {name} {value}" for name, value in rows)
+        lines.append("")
+    return "\n".join(lines)
+
+
+def _minmax_summary(values, median_color="b"):
+    """Median/min/max legend handles (extras.py's sampling figures)."""
+    values = np.asarray(values)
+    median = float(np.median(values))
+    mk = lambda color, label: plt.Line2D([], [], color=color, linewidth=2,
+                                         label=label)
     handles = [
-        plt.Line2D([], [], color=median_color, linestyle="dashed", linewidth=2,
-                   label=f"Median: {median:.2f}"),
-        plt.Line2D([], [], color="black", linewidth=2, label=f"Min: {np.min(values):.2f}"),
-        plt.Line2D([], [], color="black", linewidth=2, label=f"Max: {np.max(values):.2f}"),
+        plt.Line2D([], [], color=median_color, linestyle="dashed",
+                   linewidth=2, label=f"Median: {median:.2f}"),
+        mk("black", f"Min: {values.min():.2f}"),
+        mk("black", f"Max: {values.max():.2f}"),
     ]
     return median, handles
+
+
+# ---------------------------------------------------------------------------
+# Sampling-mode figures (extras.py:20-163, 231-255)
+# ---------------------------------------------------------------------------
 
 
 def plot_loss_vs_epochs_graph(epochs, train_loss_vals, val_loss_vals, fig_name):
     """Train/val loss curves (extras.py:231-255)."""
     plt.figure(figsize=(4, 4), dpi=300)
-    plt.scatter(epochs, train_loss_vals, color="dodgerblue")
-    plt.plot(epochs, train_loss_vals, label="Train Loss", color="dodgerblue")
-    plt.scatter(epochs, val_loss_vals, color="darkorange")
-    plt.plot(epochs, val_loss_vals, label="Validation Loss", color="darkorange")
+    for vals, label, color in ((train_loss_vals, "Train Loss", "dodgerblue"),
+                               (val_loss_vals, "Validation Loss", "darkorange")):
+        plt.scatter(epochs, vals, color=color)
+        plt.plot(epochs, vals, label=label, color=color)
     plt.xlabel("Epoch")
     plt.ylabel("Loss")
     plt.legend(fontsize=8)
-    plt.savefig(fig_name, format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(fig_name)
 
 
 def plot_samples_distribution(binary_generated_samples, figure_name, plot_color,
                               x_min=0, x_max=0):
     """Genome-size histogram (extras.py:127-163)."""
     sizes = np.asarray(binary_generated_samples).sum(axis=1)
-    median, handles = _stat_legend(sizes)
+    median, handles = _minmax_summary(sizes)
     plt.figure(figsize=(5, 5))
     plt.hist(sizes, color=plot_color)
     plt.xlim(x_min, x_max)
@@ -66,15 +158,14 @@ def plot_samples_distribution(binary_generated_samples, figure_name, plot_color,
     plt.ylabel("Frequency")
     plt.axvline(median, color="b", linestyle="dashed", linewidth=2)
     plt.legend(handles=handles, fontsize=6, loc="upper left")
-    plt.savefig(figure_name, format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(figure_name)
 
 
 def plot_essential_genes_distribution(essential_counts, figure_name, plot_color,
                                       x_min=0, x_max=0):
     """Essential-genes histogram (extras.py:90-124)."""
     counts = np.asarray(essential_counts)
-    median, handles = _stat_legend(counts)
+    median, handles = _minmax_summary(counts)
     plt.figure(figsize=(5, 5))
     plt.hist(counts, color=plot_color, range=(x_min, x_max), bins=30)
     plt.xlim(x_min, x_max)
@@ -82,8 +173,7 @@ def plot_essential_genes_distribution(essential_counts, figure_name, plot_color,
     plt.ylabel("Frequency")
     plt.axvline(median, color="b", linestyle="dashed", linewidth=2)
     plt.legend(handles=handles, fontsize=6)
-    plt.savefig(figure_name, format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(figure_name)
 
 
 def plot_essential_vs_total(essential_counts, total_counts, output_path):
@@ -95,8 +185,12 @@ def plot_essential_vs_total(essential_counts, total_counts, output_path):
                     scatter=False, color="black")
     plt.xlabel("Genome size")
     plt.ylabel("Essential genes")
-    plt.savefig(output_path, format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(output_path)
+
+
+# ---------------------------------------------------------------------------
+# Evaluation figures (visualise.py, metrics.py:67-121)
+# ---------------------------------------------------------------------------
 
 
 def plot_latent_space_pca(latents, phylogroups, config, output_dir,
@@ -136,7 +230,7 @@ def plot_latent_space_pca(latents, phylogroups, config, output_dir,
 
 
 def plot_latent_dimensions_distribution(latents, output_dir):
-    """Per-dimension latent histograms (visualise.py:84-121)."""
+    """Per-dimension latent histograms (artifact parity: visualise.py:84-121)."""
     os.makedirs(output_dir, exist_ok=True)
     latents = np.asarray(latents)
     n_dims = latents.shape[1]
@@ -144,136 +238,98 @@ def plot_latent_dimensions_distribution(latents, output_dir):
     n_rows = (n_dims + n_cols - 1) // n_cols
     fig, axes = plt.subplots(n_rows, n_cols, figsize=(15, 3 * n_rows), dpi=150)
     axes = np.atleast_1d(axes).ravel()
-    for i in range(n_dims):
-        axes[i].hist(latents[:, i], bins=30, alpha=0.7, color="skyblue",
-                     edgecolor="black")
-        axes[i].set_title(f"Latent Dim {i + 1}", fontsize=10)
-        axes[i].set_xlabel("Value")
-        axes[i].set_ylabel("Frequency")
-        axes[i].grid(True, alpha=0.3)
-    for i in range(n_dims, len(axes)):
-        axes[i].set_visible(False)
+    for i, ax in enumerate(axes):
+        if i >= n_dims:
+            ax.set_visible(False)
+            continue
+        _hist_panel(ax, latents[:, i], color="skyblue", bins=30, alpha=0.7,
+                    edgecolor="black", xlabel="Value",
+                    title=f"Latent Dim {i + 1}", grid=True)
+        ax.set_title(f"Latent Dim {i + 1}", fontsize=10)
     plt.tight_layout()
-    plt.savefig(os.path.join(output_dir, "latent_dimensions_distribution.pdf"),
-                format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(os.path.join(output_dir, "latent_dimensions_distribution.pdf"))
 
 
 def plot_reconstruction_examples(originals, reconstructions, output_dir,
                                  n_examples: int = 5):
-    """Original-vs-reconstruction line plots (visualise.py:124-176)."""
+    """Original-vs-reconstruction line plots (artifact parity:
+    visualise.py:124-176)."""
     os.makedirs(output_dir, exist_ok=True)
-    n = min(n_examples, len(originals))
-    for i in range(n):
-        fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(10, 4))
-        ax1.plot(np.asarray(originals[i]), alpha=0.7)
-        ax1.set_title(f"Original Sample {i + 1}")
-        ax1.set_xlabel("Gene Index")
-        ax1.set_ylabel("Presence")
-        ax2.plot(np.asarray(reconstructions[i]), alpha=0.7, color="orange")
-        ax2.set_title(f"Reconstructed Sample {i + 1}")
-        ax2.set_xlabel("Gene Index")
-        ax2.set_ylabel("Probability")
+    panels = (("Original Sample", "Presence", None),
+              ("Reconstructed Sample", "Probability", "orange"))
+    for i in range(min(n_examples, len(originals))):
+        fig, axs = plt.subplots(1, 2, figsize=(10, 4))
+        for ax, (title, ylabel, color), values in zip(
+                axs, panels, (originals[i], reconstructions[i])):
+            ax.plot(np.asarray(values), alpha=0.7,
+                    **({"color": color} if color else {}))
+            ax.set_title(f"{title} {i + 1}")
+            ax.set_xlabel("Gene Index")
+            ax.set_ylabel(ylabel)
         plt.tight_layout()
-        plt.savefig(os.path.join(output_dir, f"reconstruction_example_{i + 1}.pdf"),
-                    format="pdf", bbox_inches="tight")
-        plt.close()
+        _save_pdf(os.path.join(output_dir, f"reconstruction_example_{i + 1}.pdf"))
 
 
 def generate_metric_histograms(f1_scores, accuracy_scores, config, output_dir):
     """F1 and accuracy histograms (metrics.py:67-121)."""
     os.makedirs(output_dir, exist_ok=True)
-    plt.figure(figsize=(4, 4), dpi=300)
-    plt.hist(f1_scores, color="dodgerblue")
-    plt.xlabel("F1 score")
-    plt.ylabel("Frequency")
-    plt.grid(True, alpha=0.3)
-    plt.xlim(0.9, 1)
-    plt.tight_layout()
-    median_f1 = np.median(f1_scores)
-    plt.axvline(median_f1, color="red", linestyle="--", alpha=0.8,
-                label=f"Median: {median_f1:.3f}")
-    plt.legend()
-    plt.savefig(os.path.join(
-        output_dir, f"{config.trainer_version}_f1_score_frequency_test_set.pdf"),
-        format="pdf", bbox_inches="tight")
-    plt.close()
-
-    plt.figure(figsize=(4, 4), dpi=300)
-    plt.hist(accuracy_scores, color="dodgerblue")
-    plt.xlabel("Accuracy Score")
-    plt.ylabel("Frequency")
-    plt.grid(True, alpha=0.3)
-    mean_acc = np.mean(accuracy_scores)
-    plt.axvline(mean_acc, color="darkred", linestyle="--", alpha=0.8,
-                label=f"Mean: {mean_acc:.3f}")
-    plt.legend()
-    plt.savefig(os.path.join(
-        output_dir, f"{config.trainer_version}_accuracy_score_frequency_test_set.pdf"),
-        format="pdf", bbox_inches="tight")
-    plt.close()
+    specs = (
+        (f1_scores, "F1 score", "median", "red", (0.9, 1.0),
+         f"{config.trainer_version}_f1_score_frequency_test_set.pdf"),
+        (accuracy_scores, "Accuracy Score", "mean", "darkred", None,
+         f"{config.trainer_version}_accuracy_score_frequency_test_set.pdf"),
+    )
+    for values, xlabel, marker, mcolor, xlim, fname in specs:
+        plt.figure(figsize=(4, 4), dpi=300)
+        _hist_panel(plt.gca(), values, color="dodgerblue", xlabel=xlabel,
+                    marker=marker, marker_color=mcolor, marker_alpha=0.8,
+                    grid=True)
+        if xlim:
+            plt.xlim(*xlim)
+            plt.tight_layout()
+        _save_pdf(os.path.join(output_dir, fname))
 
 
 def create_training_summary_plot(train_losses: List[float], val_losses: List[float],
                                  f1_scores: Sequence[float],
                                  accuracy_scores: Sequence[float],
                                  output_dir: str, model_name: str = "VAE"):
-    """2x2 training summary panel (visualise.py:179-256)."""
+    """2x2 training summary panel (artifact parity: visualise.py:179-256):
+    loss curves, F1 and accuracy histograms, and a stats text block."""
     os.makedirs(output_dir, exist_ok=True)
+    f1 = np.asarray(f1_scores)
+    acc = np.asarray(accuracy_scores)
     fig, axes = plt.subplots(2, 2, figsize=(12, 10), dpi=150)
-    epochs = range(1, len(train_losses) + 1)
-    axes[0, 0].plot(epochs, train_losses, label="Training Loss", color="blue", alpha=0.8)
-    axes[0, 0].plot(epochs, val_losses, label="Validation Loss", color="red", alpha=0.8)
-    axes[0, 0].set_xlabel("Epochs")
-    axes[0, 0].set_ylabel("Loss")
-    axes[0, 0].set_title(f"{model_name} Training Curves")
-    axes[0, 0].legend()
-    axes[0, 0].grid(True, alpha=0.3)
 
-    axes[0, 1].hist(f1_scores, bins=30, alpha=0.7, color="green", edgecolor="black")
-    axes[0, 1].axvline(np.mean(f1_scores), color="darkgreen", linestyle="--",
-                       label=f"Mean: {np.mean(f1_scores):.3f}")
-    axes[0, 1].set_xlabel("F1 Score")
-    axes[0, 1].set_ylabel("Frequency")
-    axes[0, 1].set_title("F1 Score Distribution")
-    axes[0, 1].legend()
-    axes[0, 1].grid(True, alpha=0.3)
+    _curves_panel(axes[0, 0], range(1, len(train_losses) + 1),
+                  [(train_losses, "Training Loss", "blue"),
+                   (val_losses, "Validation Loss", "red")],
+                  xlabel="Epochs", ylabel="Loss",
+                  title=f"{model_name} Training Curves", grid=True)
+    _hist_panel(axes[0, 1], f1, color="green", bins=30, alpha=0.7,
+                edgecolor="black", marker="mean", marker_color="darkgreen",
+                xlabel="F1 Score", title="F1 Score Distribution", grid=True)
+    _hist_panel(axes[1, 0], acc, color="purple", bins=30, alpha=0.7,
+                edgecolor="black", marker="mean", marker_color="darkviolet",
+                xlabel="Accuracy Score", title="Accuracy Distribution",
+                grid=True)
 
-    axes[1, 0].hist(accuracy_scores, bins=30, alpha=0.7, color="purple",
-                    edgecolor="black")
-    axes[1, 0].axvline(np.mean(accuracy_scores), color="darkviolet", linestyle="--",
-                       label=f"Mean: {np.mean(accuracy_scores):.3f}")
-    axes[1, 0].set_xlabel("Accuracy Score")
-    axes[1, 0].set_ylabel("Frequency")
-    axes[1, 0].set_title("Accuracy Distribution")
-    axes[1, 0].legend()
-    axes[1, 0].grid(True, alpha=0.3)
+    # assemble the stats rows the reference panel reports (same content)
+    def stat_rows(v):
+        return [("Mean:", f"{np.mean(v):.4f}"), ("Std: ", f"{np.std(v):.4f}"),
+                ("Min: ", f"{np.min(v):.4f}"), ("Max: ", f"{np.max(v):.4f}")]
 
+    summary_text = _stats_block(
+        f"{model_name} Training Summary",
+        [("", [("Final Training Loss:", f"{train_losses[-1]:.4f}"),
+               ("Final Validation Loss:", f"{val_losses[-1]:.4f}")]),
+         ("F1 Score Statistics:", stat_rows(f1)),
+         ("Accuracy Statistics:", stat_rows(acc)),
+         ("", [("Total Epochs:", str(len(train_losses)))])],
+    )
     axes[1, 1].axis("off")
-    summary_text = f"""
-    {model_name} Training Summary
-
-    Final Training Loss: {train_losses[-1]:.4f}
-    Final Validation Loss: {val_losses[-1]:.4f}
-
-    F1 Score Statistics:
-    - Mean: {np.mean(f1_scores):.4f}
-    - Std:  {np.std(f1_scores):.4f}
-    - Min:  {np.min(f1_scores):.4f}
-    - Max:  {np.max(f1_scores):.4f}
-
-    Accuracy Statistics:
-    - Mean: {np.mean(accuracy_scores):.4f}
-    - Std:  {np.std(accuracy_scores):.4f}
-    - Min:  {np.min(accuracy_scores):.4f}
-    - Max:  {np.max(accuracy_scores):.4f}
-
-    Total Epochs: {len(train_losses)}
-    """
     axes[1, 1].text(0.1, 0.9, summary_text, transform=axes[1, 1].transAxes,
                     fontsize=11, verticalalignment="top",
                     bbox=dict(boxstyle="round", facecolor="lightgray", alpha=0.5))
     plt.tight_layout()
-    plt.savefig(os.path.join(output_dir, f"{model_name}_training_summary.pdf"),
-                format="pdf", bbox_inches="tight")
-    plt.close()
+    _save_pdf(os.path.join(output_dir, f"{model_name}_training_summary.pdf"))

@@ -236,11 +236,16 @@ def decode_logits(cfg: VAEConfig, params: Params, stats: BatchStats, z, train: b
 
     Logits are pre-sigmoid; apply jax.nn.sigmoid for probabilities, or
     threshold at 0 for the reference's `sigmoid(x) > 0.5` binarization.
+
+    Under the bf16 policy the logits MATERIALIZE at bf16 (the accumulation
+    is still f32 in-register; the astype fuses into the matmul epilogue) —
+    this tensor and its cotangent dominate activation HBM traffic. Loss
+    reductions upcast to f32 elementwise.
     """
     h, new_stats = decode_hidden(cfg, params, stats, z, train)
     out = params["decoder"][-1]
     logits = _matmul(h, out["w"], cfg.policy) + out["b"]
-    return logits, new_stats
+    return logits.astype(cfg.policy.logits_dtype), new_stats
 
 
 def reparameterize(key, mean, logvar):

@@ -110,8 +110,12 @@ def bce_sum_logits(logits, targets, feature_mask) -> jnp.ndarray:
     """sum BCE(sigmoid(logits), targets) — stable logits form, masked.
 
     softplus(l) - l*y  ==  -[y*log(sigmoid(l)) + (1-y)*log(1-sigmoid(l))]
+
+    Elementwise math in f32 even when logits/targets are stored bf16 (the
+    casts fuse into this reduction — no extra HBM traffic).
     """
-    per_elem = jnp.logaddexp(0.0, logits) - logits * targets
+    logits = logits.astype(jnp.float32)
+    per_elem = jnp.logaddexp(0.0, logits) - logits * targets.astype(jnp.float32)
     return jnp.sum(per_elem * feature_mask)
 
 
@@ -145,7 +149,7 @@ def gene_abundance(logits, feature_mask) -> jnp.ndarray:
 
     recon probs are non-negative so the abs is a no-op, but kept for parity.
     """
-    probs = jax.nn.sigmoid(logits) * feature_mask
+    probs = jax.nn.sigmoid(logits.astype(jnp.float32)) * feature_mask
     total_gene_number = jnp.sum(probs, axis=0)
     return jnp.sum(jnp.abs(total_gene_number))
 
@@ -185,33 +189,25 @@ def compute_losses(
     epoch,
     counter,
     feature_mask,
-    fused=False,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total loss + per-component dict for one batch (LossTracker.compute_total_loss,
     trainer.py:44-56 — without the per-batch host sync).
 
-    ``fused`` selects the fused BCE+colsum path: ``True`` uses the Pallas
-    kernel (one memory pass over the logits, closed-form custom VJP —
-    identical math, used on single-device TPU); a callable is used directly
-    (the trainer passes the shard_map-wrapped kernel for DP meshes).
+    Pure jnp by design: XLA fuses the BCE reduction into the output matmul's
+    epilogue on TPU — the logits never materialize in the forward pass. A
+    hand-written Pallas BCE(+colsum) kernel with a closed-form VJP was
+    measured 12% SLOWER inside the bs=2048 step (100.8 vs 112.7 TFLOPs,
+    tools/profile_step5.py) because its custom-call boundary forces the
+    logits into HBM; it was removed in round 2.
     """
     comps: Dict[str, jnp.ndarray] = {}
-    colsum = None
-    if callable(fused):
-        comps[RECONSTRUCTION], colsum = fused(logits, data, feature_mask)
-    elif fused:
-        from .pallas_kernels import bce_and_colsum
-
-        comps[RECONSTRUCTION], colsum = bce_and_colsum(logits, data, feature_mask)
-    else:
-        comps[RECONSTRUCTION] = bce_sum_logits(logits, data, feature_mask)
+    comps[RECONSTRUCTION] = bce_sum_logits(logits, data, feature_mask)
     beta = beta_schedule(spec, epoch, counter)
     comps[KL_DIVERGENCE] = beta * kl_divergence(mu, logvar)
     if spec.use_abundance:
         gamma = gamma_schedule(spec, epoch)
-        abundance = (jnp.sum(jnp.abs(colsum)) if colsum is not None
-                     else gene_abundance(logits, feature_mask))
-        comps[GENE_ABUNDANCE] = spec.weight * gamma * abundance
+        comps[GENE_ABUNDANCE] = (spec.weight * gamma
+                                 * gene_abundance(logits, feature_mask))
     if spec.use_l1:
         # lambda is static: skip the penalty entirely when 0 (the reference
         # returns a constant 0 tensor then — loss_components.py:134-136)

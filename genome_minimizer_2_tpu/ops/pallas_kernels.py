@@ -1,20 +1,28 @@
-"""Pallas TPU kernels for the hot compute paths.
+"""Pallas TPU kernels for the paths where hand-written kernels MEASURABLY
+beat XLA on this hardware. Each has a jnp reference implementation (used on
+CPU and as the test oracle — outputs are bit-identical).
 
-Two kernels, both with jnp reference implementations (used on CPU and as
-test oracles — outputs are bit-identical):
-
-- ``matmul_bias_act``: blocked x @ W + b with optional ReLU epilogue, bf16
-  operands / f32 accumulation on the MXU. The building block of the VAE's
-  [Linear -> BatchNorm -> ReLU] stacks (BatchNorm's batch-statistics
-  reduction stays in XLA, which fuses it with the epilogue).
 - ``decode_threshold_pack``: the sampling hot path. Fuses the 55k-wide
   decoder output matmul with sigmoid-thresholding (logits > 0) and 8-to-1
   bit-packing, emitting a uint8 bitmask — this cuts the device->host
   transfer of sampled genomes by 8x, which profiling shows is the sampling
   bottleneck on tunneled/multi-host setups (the matmul itself is ~free).
+- ``gather_row_blocks``: the epoch-shuffle permutation as manual HBM->HBM
+  block DMAs — ~6x the throughput of XLA's gather lowering on this chip
+  (tools/profile_step3.py: 45-80 GB/s XLA vs ~530 GB/s here).
 
-Grid/tiling: 128-row x 512-col output tiles (lane-aligned), K streamed whole
-(hidden dims here are <= 1024 so the K panel fits VMEM comfortably).
+Kernels that were built, measured on-chip, and REMOVED because XLA's fusion
+beat them inside the real training step (round 2; evidence in BASELINE.md
+and tools/profile_step*.py): a blocked matmul+bias+activation building
+block, a fused BCE+colsum loss kernel with closed-form VJP (XLA fuses the
+jnp BCE reduction into the output matmul's epilogue and never materializes
+the logits — 112.7 vs 100.8 TFLOPs/chip at bs=2048), a fused Adam update
+(aliased in-scan Pallas forced defensive copies of the optimizer state),
+and a fused output-layer backward producing dW/db/dh in one pass (its
+small-K MXU contractions ran ~2x below XLA's scheduled dots).
+
+Grid/tiling: 128-row x 1024-col output tiles (lane-aligned), K streamed
+whole (hidden dims here are <= 1024 so the K panel fits VMEM comfortably).
 """
 
 from __future__ import annotations
@@ -33,68 +41,9 @@ except ImportError:  # pragma: no cover
 
 from ..core.dtypes import round_up
 
-_PACK_WEIGHTS = np.array([1, 2, 4, 8, 16, 32, 64, 128], np.uint8)
-
 
 def _on_tpu() -> bool:
     return pltpu is not None and jax.default_backend() == "tpu"
-
-
-# ---------------------------------------------------------------------------
-# matmul + bias + activation
-# ---------------------------------------------------------------------------
-
-def _mba_kernel(x_ref, w_ref, b_ref, o_ref, *, relu: bool):
-    acc = jnp.dot(x_ref[:], w_ref[:], preferred_element_type=jnp.float32)
-    acc = acc + b_ref[:].astype(jnp.float32)
-    if relu:
-        acc = jnp.maximum(acc, 0.0)
-    o_ref[:] = acc
-
-
-def matmul_bias_act_reference(x, w, b, relu: bool = False,
-                              compute_dtype=jnp.bfloat16):
-    precision = None if compute_dtype == jnp.bfloat16 else jax.lax.Precision.HIGHEST
-    out = jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
-                  preferred_element_type=jnp.float32,
-                  precision=precision) + b.astype(jnp.float32)
-    return jnp.maximum(out, 0.0) if relu else out
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("relu", "block_m", "block_n", "compute_dtype"))
-def matmul_bias_act(x, w, b, relu: bool = False, block_m: int = 128,
-                    block_n: int = 512, compute_dtype=jnp.bfloat16):
-    """relu?(x @ w + b) via a blocked Pallas MXU kernel (TPU) or XLA (CPU).
-
-    x: (M, K) any float dtype; w: (K, N); b: (N,). Returns f32 (M, N).
-    M, N need not be tile-aligned (padded internally).
-    """
-    if not _on_tpu():
-        return matmul_bias_act_reference(x, w, b, relu, compute_dtype)
-    M, K = x.shape
-    N = w.shape[1]
-    Mp, Np = round_up(M, block_m), round_up(N, block_n)
-    xb = jnp.pad(x.astype(compute_dtype), ((0, Mp - M), (0, 0)))
-    wb = jnp.pad(w.astype(compute_dtype), ((0, 0), (0, Np - N)))
-    bb = jnp.pad(b.astype(jnp.float32), (0, Np - N)).reshape(1, Np)
-    grid = (Mp // block_m, Np // block_n)
-    out = pl.pallas_call(
-        functools.partial(_mba_kernel, relu=relu),
-        out_shape=jax.ShapeDtypeStruct((Mp, Np), jnp.float32),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, K), lambda i, j: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((K, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
-                               memory_space=pltpu.VMEM),
-    )(xb, wb, bb)
-    return out[:M, :N]
 
 
 # ---------------------------------------------------------------------------
@@ -134,9 +83,16 @@ def _dtp_kernel(h_ref, w_ref, b_ref, o_ref):
     o_ref[:] = packed.astype(jnp.int32)
 
 
+def _matmul_bias_reference(x, w, b, compute_dtype=jnp.bfloat16):
+    precision = (None if compute_dtype == jnp.bfloat16
+                 else jax.lax.Precision.HIGHEST)
+    return jnp.dot(x.astype(compute_dtype), w.astype(compute_dtype),
+                   preferred_element_type=jnp.float32,
+                   precision=precision) + b.astype(jnp.float32)
+
+
 def decode_threshold_pack_reference(h, w, b, compute_dtype=jnp.bfloat16):
-    logits = matmul_bias_act_reference(h, w, b, relu=False,
-                                       compute_dtype=compute_dtype)
+    logits = _matmul_bias_reference(h, w, b, compute_dtype)
     n8 = round_up(logits.shape[1], 8)
     bits = jnp.pad((logits > 0.0), ((0, 0), (0, n8 - logits.shape[1])))
     return _pack_bits_2d(bits)
@@ -188,159 +144,65 @@ def unpack_bits(packed: np.ndarray, n: int) -> np.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# fused BCE-sum + abundance column-sum with closed-form custom VJP
+# row-block gather (epoch shuffle) — manual HBM->HBM DMAs
 # ---------------------------------------------------------------------------
 #
-# One pass over the (B, D) logits computing BOTH reductions the VAE loss
-# needs from the reconstruction: the masked BCE sum (reconstruction loss,
-# loss_components.py:50) and the per-gene column sum of probabilities (the
-# abundance loss input, loss_components.py:113). The backward pass is the
-# closed form d/dl = (g_bce*(s - y) + g_col*s*(1-s)) * mask — no stored
-# activations beyond the logits the caller already has.
+# The trainer materializes each epoch's permutation once. XLA's gather
+# lowering runs at ~45-80 GB/s on this chip (tools/profile_step3.py H/G);
+# this kernel issues concurrent block DMAs straight from the source array in
+# HBM to the output in HBM (no VMEM transit), sustaining near the streaming
+# roofline. The index vector rides scalar prefetch so each grid step's
+# addresses are known before its DMAs issue.
+#
+# Granularity: HBM memrefs are (8, 128)-tiled, so the smallest addressable
+# row slice is 8 rows — the shuffle permutes 8-ROW BLOCKS, not single rows.
+# The trainer gates this on batch_size >= 256 (>= 32 blocks mix per batch);
+# smaller batches keep the exact row-level jnp permutation.
 
-def _bce_colsum_kernel(l_ref, y_ref, m_ref, bce_ref, col_ref):
-    # grid is (col tiles, row tiles): rows innermost so the per-column
-    # accumulator block is revisited on consecutive steps
-    j = pl.program_id(0)  # col tile
-    i = pl.program_id(1)  # row tile
-    l = l_ref[:]
-    y = y_ref[:].astype(jnp.float32)  # targets may be stored bf16 ({0,1} exact)
-    m = m_ref[:]
-    per_elem = (jnp.logaddexp(0.0, l) - l * y) * m
-    probs = jax.nn.sigmoid(l) * m
-
-    @pl.when((i == 0) & (j == 0))
-    def _():
-        bce_ref[0, 0] = 0.0
-
-    bce_ref[0, 0] += jnp.sum(per_elem)
-    tile = jnp.sum(probs, axis=0, keepdims=True)
-
-    # the (1, block_n) col block for j is revisited once per row tile i
-    @pl.when(i == 0)
-    def _():
-        col_ref[:] = tile
-
-    @pl.when(i > 0)
-    def _():
-        col_ref[:] += tile
+GATHER_BLOCK = 8  # HBM sublane tiling: minimum addressable row-slice
 
 
-def _bce_colsum_reference(logits, targets, mask):
-    logits = logits.astype(jnp.float32)
-    per_elem = (jnp.logaddexp(0.0, logits) - logits * targets) * mask
-    probs = jax.nn.sigmoid(logits) * mask
-    return jnp.sum(per_elem), jnp.sum(probs, axis=0)
+def _gather_blocks_kernel(idx_ref, x_ref, o_ref, sems, *,
+                          blocks_per_step: int):
+    i = pl.program_id(0)
+    base = i * blocks_per_step
+    copies = [
+        pltpu.make_async_copy(
+            x_ref.at[pl.ds(idx_ref[base + j] * GATHER_BLOCK, GATHER_BLOCK)],
+            o_ref.at[pl.ds((base + j) * GATHER_BLOCK, GATHER_BLOCK)],
+            sems.at[j],
+        )
+        for j in range(blocks_per_step)
+    ]
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
 
 
-@functools.partial(jax.jit, static_argnames=("block_n", "block_m"))
-def _bce_colsum_impl(logits, targets, mask, block_n: int = 1280,
-                     block_m: int = 128):
-    M, N = logits.shape
-    block_m = min(block_m, M)
-    # Row padding would corrupt the BCE sum (logaddexp(0,0)=log2 per padded
-    # element); fall back for non-tileable batch sizes (remainder steps).
-    if not _on_tpu() or M % block_m != 0:
-        return _bce_colsum_reference(logits, targets, mask)
-    Np = round_up(N, block_n)
-    if Np != N:
-        # zero-masked column padding contributes 0 to both reductions
-        logits = jnp.pad(logits, ((0, 0), (0, Np - N)))
-        targets = jnp.pad(targets, ((0, 0), (0, Np - N)))
-        mask = jnp.pad(mask, (0, Np - N))
-    grid = (Np // block_n, M // block_m)  # rows innermost
-    mask2d = mask.reshape(1, Np).astype(jnp.float32)
-    bce, col = pl.pallas_call(
-        _bce_colsum_kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((1, 1), jnp.float32),
-            jax.ShapeDtypeStruct((1, Np), jnp.float32),
-        ),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_m, block_n), lambda j, i: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block_n), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, 1), lambda j, i: (0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, block_n), lambda j, i: (0, j),
-                         memory_space=pltpu.VMEM),
-        ),
-    )(logits.astype(jnp.float32), targets, mask2d)  # targets read at native
-    return bce[0, 0], col[0, :N]                    # width (bf16 or f32)
+def gather_row_blocks(x, block_idx):
+    """Permute 8-row blocks: out[i*8:(i+1)*8] = x[block_idx[i]*8 : ...+8].
 
-
-@jax.custom_vjp
-def bce_and_colsum(logits, targets, mask):
-    """(masked BCE-with-logits sum, per-column probability sums).
-
-    Identical math to ops.losses.bce_sum_logits + the abundance column sum,
-    fused into one memory pass on TPU; jnp reference elsewhere.
+    x: (n, d), n need not be a multiple of 8 (trailing rows are not
+    addressed); block_idx: (m,) int32 of block ordinals. Returns (m*8, d).
+    jnp fallback off-TPU (used by tests as the oracle).
     """
-    return _bce_colsum_impl(logits, targets, mask)
-
-
-def _bce_colsum_fwd(logits, targets, mask):
-    out = _bce_colsum_impl(logits, targets, mask)
-    return out, (logits, targets, mask)
-
-
-def _bce_colsum_bwd(residuals, cotangents):
-    logits, targets, mask = residuals
-    g_bce, g_col = cotangents
-    s = jax.nn.sigmoid(logits.astype(jnp.float32))
-    dl = (g_bce * (s - targets) + g_col[None, :] * s * (1.0 - s)) * mask
-    return dl.astype(logits.dtype), jnp.zeros_like(targets), jnp.zeros_like(mask)
-
-
-bce_and_colsum.defvjp(_bce_colsum_fwd, _bce_colsum_bwd)
-
-
-def make_sharded_bce_colsum(mesh, data_axis: str = "data"):
-    """Data-parallel variant of :func:`bce_and_colsum`.
-
-    ``pallas_call`` has no GSPMD partitioning rule, so under a >1-device mesh
-    XLA would gather the sharded batch to run it. This factory instead wraps
-    the kernel in ``shard_map`` over the mesh's data axis: each device runs
-    the one-pass kernel on its own batch shard and the two reductions are
-    combined with ``psum`` over ICI — the same math as the single-device
-    kernel on the global batch (both reductions are sums over rows).
-
-    The backward pass stays the closed form d/dlogits = (g_bce*(s-y) +
-    g_col*s*(1-s))*mask — purely elementwise over the sharded logits, so it
-    needs no shard_map; XLA partitions it along with the rest of the step.
-
-    Requirements (the trainer gates on these): the mesh's other axes are
-    trivial for the logits (model axis size 1 — TP shards the gene axis of
-    the logits, which would break the per-shard column sums), and the batch
-    divides evenly over ``data_axis``.
-    """
-    from jax.sharding import PartitionSpec as P
-
-    def impl(logits, targets, mask):
-        def shard_fn(l, y, m):
-            bce, col = _bce_colsum_impl(l, y, m)
-            return (jax.lax.psum(bce, data_axis),
-                    jax.lax.psum(col, data_axis))
-
-        return jax.shard_map(
-            shard_fn,
-            mesh=mesh,
-            in_specs=(P(data_axis, None), P(data_axis, None), P(None)),
-            out_specs=(P(), P(None)),
-            check_vma=False,
-        )(logits, targets, mask)
-
-    @jax.custom_vjp
-    def sharded_bce_and_colsum(logits, targets, mask):
-        return impl(logits, targets, mask)
-
-    def _fwd(logits, targets, mask):
-        return impl(logits, targets, mask), (logits, targets, mask)
-
-    sharded_bce_and_colsum.defvjp(_fwd, _bce_colsum_bwd)
-    return sharded_bce_and_colsum
+    m = int(block_idx.shape[0])
+    d = x.shape[1]
+    if not _on_tpu():
+        rows = (block_idx[:, None] * GATHER_BLOCK
+                + jnp.arange(GATHER_BLOCK)[None, :]).reshape(-1)
+        return jnp.take(x, rows, axis=0)
+    blocks_per_step = next(b for b in (16, 8, 4, 2, 1) if m % b == 0)
+    return pl.pallas_call(
+        functools.partial(_gather_blocks_kernel,
+                          blocks_per_step=blocks_per_step),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(m // blocks_per_step,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+            scratch_shapes=[pltpu.SemaphoreType.DMA((blocks_per_step,))],
+        ),
+        out_shape=jax.ShapeDtypeStruct((m * GATHER_BLOCK, d), x.dtype),
+    )(block_idx.astype(jnp.int32), x)

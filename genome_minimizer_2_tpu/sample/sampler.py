@@ -115,7 +115,7 @@ class Sampler:
 
         def _decode_probs_fn(params, stats, z):
             logits, _ = vae.decode_logits(cfg, params, stats, z, train=False)
-            return jax.nn.sigmoid(logits)
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         def _encode_mean_fn(params, stats, x):
             mean, _, _ = vae.encode(cfg, params, stats, x, train=False)

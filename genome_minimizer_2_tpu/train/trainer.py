@@ -139,6 +139,13 @@ class VAETrainer:
             init_key, rng = jax.random.split(key)
             params, batch_stats = vae.init(self.model_cfg, init_key)
             opt_state = self.tx.init(params)
+            mdt = self._moment_dtype()
+            if mdt != jnp.float32:
+                clip_state, adam = opt_state
+                adam = adam._replace(
+                    mu=jax.tree.map(lambda x: x.astype(mdt), adam.mu),
+                    nu=jax.tree.map(lambda x: x.astype(mdt), adam.nu))
+                opt_state = (clip_state, adam)
             return TrainState(
                 params=params,
                 batch_stats=batch_stats,
@@ -167,56 +174,40 @@ class VAETrainer:
             return next(iter(self.mesh.devices.flat)).platform
         return jax.default_backend()
 
-    def _fused_for_batch(self, batch_shape) -> object:
-        """Pick the fused Pallas BCE+colsum path for this batch, or None.
-
-        Single-device TPU uses the plain kernel. A data-parallel TPU mesh
-        uses the shard_map-wrapped kernel (per-shard pallas_call + psum over
-        ICI) when the batch divides the data axis and the model axis is
-        trivial (TP shards the gene axis of the logits, which would break
-        the per-shard column sums). Everything else takes the jnp path,
-        which XLA partitions and fuses cleanly.
-        """
-        if not getattr(self.config, "use_pallas_loss", True):
-            return None
-        if self._mesh_platform() != "tpu":
-            return None
-        if self.mesh is None or self.mesh.size == 1:
-            return True  # plain bce_and_colsum
-        from ..parallel.mesh import DATA_AXIS, MODEL_AXIS
-
-        if self.mesh.shape.get(MODEL_AXIS, 1) != 1:
-            return None
-        if batch_shape[0] % self.mesh.shape[DATA_AXIS]:
-            return None  # shard_map needs even division (remainder batch)
-        if "sharded_fused" not in self._epoch_fns:
-            from ..ops.pallas_kernels import make_sharded_bce_colsum
-
-            self._epoch_fns["sharded_fused"] = make_sharded_bce_colsum(
-                self.mesh, DATA_AXIS)
-        return self._epoch_fns["sharded_fused"]
-
     def _loss_fn(self, params, batch_stats, batch, key, epoch, counter, train: bool):
+        # pure jnp loss: XLA fuses the BCE reduction into the output matmul
+        # epilogue (the logits never hit HBM forward) and GSPMD partitions
+        # it under any mesh — measured faster than the hand-written Pallas
+        # loss kernels it replaced (ops/losses.py docstring, round 2)
         logits, mu, logvar, new_stats = vae.forward(
             self.model_cfg, params, batch_stats, batch, key, train=train
         )
-        fused = self._fused_for_batch(batch.shape)
         total, comps = L.compute_losses(
             self.spec, params, logits, batch, mu, logvar, epoch, counter,
             self.model_cfg.feature_mask(),
-            fused=False if fused is None else fused,
         )
         return total, (comps, new_stats)
 
     def _use_fused_optimizer(self) -> bool:
-        """Fused clip+Adam+apply Pallas kernel: single-device TPU execution
-        only (pallas_call has no GSPMD rule; DP/TP meshes keep the optax
-        chain, which XLA partitions over replicated state)."""
-        if not getattr(self.config, "use_pallas_optimizer", True):
+        """Fused one-pass clip+Adam+apply (ops/optimizer.py) on TPU
+        execution: pure jnp, so GSPMD partitions it under any mesh. The CPU
+        path keeps the optax chain (bit-identical at f32; pinned by the
+        full-training parity tests)."""
+        if not getattr(self.config, "use_fused_optimizer", True):
             return False
-        if self._mesh_platform() != "tpu":
-            return False
-        return self.mesh is None or self.mesh.size == 1
+        return self._mesh_platform() == "tpu"
+
+    def _moment_dtype(self):
+        """Adam moment storage dtype: config.adam_state_dtype, where 'auto'
+        follows the compute policy (bf16 moments halve optimizer HBM traffic;
+        update math stays f32 — ops/optimizer.py). Narrow moments require
+        the fused update (optax would re-widen them mid-scan)."""
+        name = getattr(self.config, "adam_state_dtype", "auto")
+        dtype = (self.model_cfg.policy.compute_dtype if name == "auto"
+                 else jnp.dtype(name))
+        if dtype != jnp.float32 and not self._use_fused_optimizer():
+            return jnp.float32
+        return dtype
 
     def _train_step(self, state: TrainState, batch, epoch, lr):
         batch = self._constrain_batch(batch)
@@ -233,8 +224,7 @@ class VAETrainer:
 
             params, new_opt = fused_clip_adam_apply(
                 grads, state.opt_state, state.params, lr,
-                max_norm=self.config.max_norm,
-                platform=self._mesh_platform())
+                max_norm=self.config.max_norm)
         else:
             updates, new_opt = self.tx.update(grads, state.opt_state,
                                               state.params)
@@ -261,6 +251,21 @@ class VAETrainer:
         new_state = state._replace(counter=state.counter + 1, rng=rng)
         return new_state, comps
 
+    def _use_block_shuffle(self, n: int) -> bool:
+        """The manual-DMA Pallas shuffle permutes 8-row blocks (HBM tiling
+        granularity) at near HBM bandwidth — XLA's row gather runs ~5-9x
+        slower on this chip. Gated to batches >= 256 (>= 32 blocks mix per
+        batch, statistically equivalent for SGD); small batches keep the
+        exact row-level permutation. Single-device TPU only (pallas_call
+        has no SPMD rule)."""
+        from ..ops.pallas_kernels import GATHER_BLOCK
+
+        return (getattr(self.config, "use_pallas_gather", True)
+                and self.config.batch_size >= 256
+                and n % GATHER_BLOCK == 0
+                and self._mesh_platform() == "tpu"
+                and (self.mesh is None or self.mesh.size == 1))
+
     # -- whole-epoch compiled programs ------------------------------------
 
     def _get_epoch_fn(self, n: int, train: bool):
@@ -277,36 +282,36 @@ class VAETrainer:
             # data may carry alignment pad rows beyond n (row-sharded
             # placement, prepare_data) — every read below stays < n
             sums = {k: jnp.zeros((), jnp.float32) for k in names}
-            perm = None
             if train:
                 rng, perm_key = jax.random.split(state.rng)
                 state = state._replace(rng=rng)
-                # The shuffle is an INDEX permutation consumed by per-batch
-                # gathers in the scan body — materializing the permuted copy
-                # (jnp.take over the whole dataset) costs 2 extra full-dataset
-                # HBM passes per epoch, measured at ~4.7 ms/step of the
-                # bs=2048 step budget (tools/profile_step.py T2).
-                perm = jax.random.permutation(perm_key, n)
+                # materialize the permuted epoch once; per-batch gathers in
+                # the scan body measured 3-5 ms/step at bs=2048 (XLA's TPU
+                # gather runs at ~45 GB/s — tools/profile_step3.py H)
+                if self._use_block_shuffle(n):
+                    from ..ops.pallas_kernels import GATHER_BLOCK, \
+                        gather_row_blocks
 
-            def get_batch(xs):
-                return jnp.take(data, xs, axis=0) if train else xs
+                    bperm = jax.random.permutation(perm_key, n // GATHER_BLOCK)
+                    data = gather_row_blocks(data, bperm)
+                else:
+                    perm = jax.random.permutation(perm_key, n)
+                    data = jnp.take(data, perm, axis=0)
 
-            def body(carry, xs):
+            def body(carry, batch):
                 st, acc = carry
                 if train:
-                    st, comps = self._train_step(st, get_batch(xs), epoch, lr)
+                    st, comps = self._train_step(st, batch, epoch, lr)
                 else:
-                    st, comps = self._val_step(st, xs, epoch)
+                    st, comps = self._val_step(st, batch, epoch)
                 acc = {k: acc[k] + comps[k] for k in names}
                 return (st, acc), None
 
             if nb > 0:
-                xs = (perm[: nb * B].reshape(nb, B) if train
-                      else data[: nb * B].reshape(nb, B, data.shape[1]))
-                (state, sums), _ = jax.lax.scan(body, (state, sums), xs)
+                full = data[: nb * B].reshape(nb, B, data.shape[1])
+                (state, sums), _ = jax.lax.scan(body, (state, sums), full)
             if rem > 0:
-                tail = perm[nb * B :] if train else data[nb * B : n]
-                (state, sums), _ = body((state, sums), tail)
+                (state, sums), _ = body((state, sums), data[nb * B : n])
             # average by dataset size (trainer.py:126-129)
             avgs = {k: v / n for k, v in sums.items()}
             return state, avgs

@@ -66,8 +66,11 @@ class ExperimentConfig:
     pad_features: bool = True     # pad gene axis to a multiple of 128 lanes
     shard_data: bool = True       # row-shard training data over the mesh's
                                   # 'data' axis (False = replicate per device)
-    use_pallas_loss: bool = True  # fused BCE+colsum kernel (jnp fallback off-TPU)
-    use_pallas_optimizer: bool = True  # fused clip+Adam+apply kernel (TPU only)
+    use_pallas_gather: bool = True  # manual-DMA epoch-shuffle gather (TPU)
+    use_fused_optimizer: bool = True  # one-pass clip+Adam+apply on TPU
+                                  # (False = optax chain everywhere)
+    adam_state_dtype: str = "auto"  # Adam moment storage; 'auto' follows the
+                                  # compute policy (bf16 on TPU)
 
     # Early stopping (TrainingConfig in trainer.py:23-31; presets set patience)
     patience: int = 10

@@ -74,3 +74,43 @@ def test_pca_matches_sklearn(rng):
     theirs = ref.fit_transform(x)
     np.testing.assert_allclose(ours, theirs, atol=1e-8)
     np.testing.assert_allclose(ratio, ref.explained_variance_ratio_, atol=1e-10)
+
+
+def test_randomized_pca_matches_exact_on_large_input():
+    """Above EXACT_MAX_ELEMS the randomized path engages; its leading
+    components and variance ratios must match the exact SVD to plotting
+    precision (well-separated spectrum by construction)."""
+    from genome_minimizer_2_tpu.eval import pca as P
+
+    rng = np.random.RandomState(5)
+    n, m = 300, 80
+    # low-rank structure + noise: separated top-2 components
+    u = rng.randn(n, 2) @ np.diag([12.0, 6.0])
+    x = (u @ rng.randn(2, m) + 0.1 * rng.randn(n, m)).astype(np.float32)
+    exact_t, exact_r = P._exact_pca(x, 2)
+    rand_t, rand_r = P._randomized_pca(x, 2)
+    # same subspace up to sign; svd_flip fixes the sign deterministically
+    np.testing.assert_allclose(rand_t, exact_t, rtol=1e-3, atol=1e-2)
+    np.testing.assert_allclose(rand_r, exact_r, rtol=1e-3, atol=1e-5)
+
+
+def test_large_pca_bounded_memory():
+    """The explore-mode Figure 2a hazard (round-1 VERDICT missing #4): PCA of
+    a matrix past EXACT_MAX_ELEMS must stream at uint8 without a full f64
+    upcast. 6000 x 4096 uint8 = 24 MB input; the old full-SVD path would
+    allocate ~188 MB f64 + O(n m) work; assert peak RSS growth stays far
+    below the f64 footprint."""
+    import resource
+
+    from genome_minimizer_2_tpu.eval import pca as P
+
+    rng = np.random.RandomState(7)
+    x = (rng.rand(6000, 4096) < 0.3).astype(np.uint8)
+    assert x.size > P.EXACT_MAX_ELEMS
+    rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss  # KiB on linux
+    t, r = P.pca_fit_transform(x, 2)
+    rss1 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    assert t.shape == (6000, 2) and r.shape == (2,)
+    assert 0 < r.sum() <= 1.0 + 1e-9
+    # f64 centered copy alone would be 188 MiB; allow the sketches + slack
+    assert (rss1 - rss0) < 120 * 1024, f"RSS grew {(rss1 - rss0) / 1024:.0f} MiB"

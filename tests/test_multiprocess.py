@@ -41,14 +41,15 @@ def _gloo_available() -> bool:
 
 @pytest.mark.skipif(not _gloo_available(),
                     reason="jaxlib without gloo TCP collectives")
-def test_two_process_dp_training_matches_single_process():
+def test_two_process_dp_training_matches_single_process(tmp_path):
     nproc = 2
     port = _free_port()
     env = {k: v for k, v in os.environ.items()
            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
     procs = [
         subprocess.Popen(
-            [sys.executable, WORKER, str(i), str(nproc), str(port)],
+            [sys.executable, WORKER, str(i), str(nproc), str(port),
+             str(tmp_path)],
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=REPO, env=env,
         )
@@ -93,3 +94,18 @@ def test_two_process_dp_training_matches_single_process():
                                    rtol=2e-4, atol=1e-5)
         np.testing.assert_allclose(outs[0][label]["val"], vl_ref,
                                    rtol=2e-4, atol=1e-5)
+
+    # row-sharded data: each process materialized only its slice
+    for o in outs:
+        assert o["local_rows"]["dp"] == 22  # 44 rows / 2 processes
+        assert o["local_rows"]["tp"] == 44  # replicated over the model axis
+
+    # host-0-only checkpoint under cross-process TP (collective gather)
+    assert os.path.exists(tmp_path / "tp_state.npz")
+    assert outs[0]["ckpt_epoch"] == 2
+    assert outs[0]["ckpt_leaves"] > 0
+
+    # straggler barrier: host 1 slept 2s before writing its shard; host 0's
+    # merged FASTA must still contain every genome (sentinel barrier)
+    assert outs[0]["fasta_records"] == 6
+    assert not list(tmp_path.glob("*.done"))  # sentinels cleared after merge

@@ -1,9 +1,11 @@
 """Fused clip+Adam+apply optimizer vs the optax chain it replaces.
 
-The fused path (ops/optimizer.py) must be numerically identical to
+The fused one-pass path (ops/optimizer.py) must be numerically identical to
 ``optax.chain(clip_by_global_norm(max_norm), scale_by_adam())`` + LR scale +
-``apply_updates`` — the exact update the trainer uses everywhere else
-(reference semantics: trainer.py:119-123, clip_grad_norm_ then Adam step).
+``apply_updates`` at f32 moment storage — the exact update the trainer uses
+on the CPU path (reference semantics: trainer.py:119-123, clip_grad_norm_
+then Adam step). With bf16 moment storage the math still runs in f32 and
+only the stored moments round.
 """
 
 import jax
@@ -42,7 +44,7 @@ def test_fused_matches_optax_chain(grad_scale):
         params = optax.apply_updates(params, updates)
 
         params_f, opt_state_f = FO.fused_clip_adam_apply(
-            grads, opt_state_f, params_f, lr, max_norm=1.0, use_pallas=False)
+            grads, opt_state_f, params_f, lr, max_norm=1.0)
 
         adam, adam_f = opt_state[1], opt_state_f[1]
         assert int(adam_f.count) == int(adam.count) == step + 1
@@ -55,27 +57,32 @@ def test_fused_matches_optax_chain(grad_scale):
                                            rtol=1e-5, atol=1e-6)
 
 
-@pytest.mark.skipif(FO.pltpu is None,
-                    reason="pallas TPU backend unavailable on this build")
-def test_pallas_kernel_matches_jnp_path_interpret():
-    """The Pallas kernel body (interpret mode on CPU) vs the jnp math."""
-    rng = np.random.RandomState(1)
-    shape = (1024, 1024)  # >= _MIN_PALLAS_ELEMS and tiles cleanly
-    g, m, v, p = (jnp.asarray(rng.randn(*shape).astype(np.float32) * s)
-                  for s in (3.0, 0.1, 0.01, 1.0))
-    v = jnp.abs(v)
-    norm = optax.global_norm({"g": g})
-    bc1 = jnp.float32(1 - FO.ADAM_B1 ** 5)
-    bc2 = jnp.float32(1 - FO.ADAM_B2 ** 5)
+def test_bf16_moments_round_trip():
+    """bf16 moment storage: dtypes preserved through the update, values
+    close to the f32-moment path (math runs in f32 either way)."""
+    rng = np.random.RandomState(3)
+    params = _toy_tree(rng)
+    tx = make_optimizer(max_norm=1.0)
+    state_f32 = tx.init(params)
+    clip, adam = tx.init(params)
+    cast = lambda t: jax.tree.map(lambda x: x.astype(jnp.bfloat16), t)
+    state_bf16 = (clip, adam._replace(mu=cast(adam.mu), nu=cast(adam.nu)))
+    p32, pbf = params, params
     lr = jnp.float32(1e-3)
-    scalars = jnp.stack([norm, bc1, bc2, lr]).reshape(1, 4)
-
-    got = FO._fused_leaf_pallas(g, m, v, p, scalars, max_norm=1.0,
-                                interpret=True)
-    want = FO._adam_math(g, m, v, p, norm, bc1, bc2, lr, max_norm=1.0)
-    for o, r in zip(got, want):
-        np.testing.assert_allclose(np.asarray(o), np.asarray(r), rtol=1e-6,
-                                   atol=1e-7)
+    for step in range(3):
+        grads = _toy_tree(np.random.RandomState(7 + step), 0.5)
+        p32, state_f32 = FO.fused_clip_adam_apply(grads, state_f32, p32, lr,
+                                                  max_norm=1.0)
+        pbf, state_bf16 = FO.fused_clip_adam_apply(grads, state_bf16, pbf, lr,
+                                                   max_norm=1.0)
+    for leaf in jax.tree.leaves(state_bf16[1].mu) + jax.tree.leaves(
+            state_bf16[1].nu):
+        assert leaf.dtype == jnp.bfloat16
+    for o, r in zip(jax.tree.leaves(pbf), jax.tree.leaves(p32)):
+        # params stay f32; moment rounding perturbs the update slightly
+        np.testing.assert_allclose(np.asarray(o), np.asarray(r),
+                                   rtol=2e-2, atol=2e-5)
+        assert o.dtype == jnp.float32
 
 
 def test_trainer_gates_fused_optimizer_off_tpu():
@@ -86,38 +93,36 @@ def test_trainer_gates_fused_optimizer_off_tpu():
     trainer = create_trainer("v0", cfg, input_dim=64)
     if jax.default_backend() != "tpu":
         assert not trainer._use_fused_optimizer()
-    cfg.use_pallas_optimizer = False
+        # narrow moments require the fused update: off-TPU forces f32
+        cfg.adam_state_dtype = "bfloat16"
+        assert trainer._moment_dtype() == jnp.float32
+    cfg.use_fused_optimizer = False
     assert not trainer._use_fused_optimizer()
 
 
 def test_trainer_fused_optimizer_gates_on_mesh_platform(monkeypatch):
-    """The positive gate: a single-device TPU mesh selects the fused path;
-    a multi-device TPU mesh deselects it (pallas_call has no GSPMD rule).
-    The platform comes from _mesh_platform(), not jax.default_backend()."""
+    """The positive gate: TPU execution (single device or any mesh) selects
+    the fused one-pass update; the platform comes from _mesh_platform(), not
+    jax.default_backend() (the CLAUDE.md dryrun/mixed-context rule)."""
     from genome_minimizer_2_tpu.train.trainer import VAETrainer, create_trainer
     from genome_minimizer_2_tpu.utils.config import get_v0_config
 
     cfg = get_v0_config()
+    cfg.compute_dtype = "bfloat16"
     trainer = create_trainer("v0", cfg, input_dim=64)
     monkeypatch.setattr(VAETrainer, "_mesh_platform", lambda self: "tpu")
 
     assert trainer.mesh is None
-    assert trainer._use_fused_optimizer()  # mesh=None + tpu platform => True
+    assert trainer._use_fused_optimizer()
+    assert trainer._moment_dtype() == jnp.bfloat16  # 'auto' follows policy
 
     class FakeMesh:
         size = 8
     trainer.mesh = FakeMesh()
-    assert not trainer._use_fused_optimizer()
+    assert trainer._use_fused_optimizer()  # jnp path partitions under GSPMD
 
     trainer.mesh = None
-    cfg.use_pallas_optimizer = False
+    cfg.adam_state_dtype = "float32"
+    assert trainer._moment_dtype() == jnp.float32
+    cfg.use_fused_optimizer = False
     assert not trainer._use_fused_optimizer()
-
-
-def test_leaf_on_pallas_gates_on_executing_platform():
-    """_leaf_on_pallas must honor the passed platform (the executing mesh's),
-    not jax.default_backend() — the CLAUDE.md dryrun/mixed-context rule."""
-    x = jnp.zeros((2048, 1024), jnp.float32)  # tiles cleanly, >= 1M elems
-    assert not FO._leaf_on_pallas(x, platform="cpu")
-    expected_on_tpu = FO.pltpu is not None
-    assert FO._leaf_on_pallas(x, platform="tpu") == expected_on_tpu

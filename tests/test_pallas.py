@@ -27,21 +27,39 @@ def test_pack_matches_numpy_packbits(rng):
     np.testing.assert_array_equal(packed, expected)
 
 
-@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
-def test_matmul_bias_act_reference(rng, dtype):
-    x = rng.randn(5, 16).astype(np.float32)
-    w = rng.randn(16, 24).astype(np.float32)
-    b = rng.randn(24).astype(np.float32)
-    out = np.asarray(PK.matmul_bias_act(jnp.asarray(x), jnp.asarray(w),
-                                        jnp.asarray(b), compute_dtype=dtype))
-    expect = x.astype(dtype) @ w.astype(dtype) + b
-    tol = 1e-5 if dtype == jnp.float32 else 0.1
-    np.testing.assert_allclose(out, np.asarray(expect, np.float32), atol=tol,
-                               rtol=tol)
-    relu_out = np.asarray(PK.matmul_bias_act(
-        jnp.asarray(x), jnp.asarray(w), jnp.asarray(b), relu=True,
-        compute_dtype=dtype))
-    assert relu_out.min() >= 0
+def test_gather_row_blocks_reference(rng):
+    """Block-gather oracle (the CPU fallback path): out[i*8:(i+1)*8] ==
+    x[idx[i]*8 : idx[i]*8+8], i.e. an 8-row-granular permutation."""
+    x = rng.randn(40, 12).astype(np.float32)
+    idx = np.array([3, 0, 4, 2, 1], np.int32)
+    out = np.asarray(PK.gather_row_blocks(jnp.asarray(x), jnp.asarray(idx)))
+    expect = np.concatenate([x[i * 8:(i + 1) * 8] for i in idx])
+    np.testing.assert_array_equal(out, expect)
+
+
+def test_block_shuffle_gating():
+    """The trainer's block shuffle engages only for TPU execution with
+    batch >= 256 and 8-divisible n; everything else keeps the exact
+    row-level permutation."""
+    from genome_minimizer_2_tpu.train.trainer import VAETrainer, create_trainer
+    from genome_minimizer_2_tpu.utils.config import get_v0_config
+
+    cfg = get_v0_config()
+    cfg.batch_size = 2048
+    tr = create_trainer("v0", cfg, input_dim=64)
+    assert not tr._use_block_shuffle(4096)  # CPU backend
+    orig = VAETrainer._mesh_platform
+    try:
+        VAETrainer._mesh_platform = lambda self: "tpu"
+        assert tr._use_block_shuffle(4096)
+        assert not tr._use_block_shuffle(4095)  # not 8-divisible
+        cfg.batch_size = 32
+        assert not tr._use_block_shuffle(4096)  # small batch: exact shuffle
+        cfg.batch_size = 2048
+        cfg.use_pallas_gather = False
+        assert not tr._use_block_shuffle(4096)
+    finally:
+        VAETrainer._mesh_platform = orig
 
 
 def test_decode_threshold_pack_matches_dense(rng):

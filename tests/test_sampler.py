@@ -166,3 +166,22 @@ def test_mesh_encode_means_matches(sampler):
     np.testing.assert_allclose(par.encode_means(x, batch_size=8),
                                sampler.encode_means(x, batch_size=8),
                                rtol=1e-6, atol=1e-7)
+
+
+def test_small_n_decodes_share_one_compiled_program():
+    """n=1, n=5, n=chunk_size, and the focused probe path must all reuse ONE
+    compiled decode program (round-1 VERDICT weak #5: each small n used to
+    compile fresh — 60-90 s per program on the tunneled rig)."""
+    cfg = vae.VAEConfig(input_dim=D, hidden_dim=H, latent_dim=L)
+    params, stats = vae.init(cfg, jax.random.key(0))
+    s = S.Sampler(cfg=cfg, params=params, batch_stats=stats, chunk_size=16)
+    for n in (1, 5, 16, 7):
+        s.sample(jax.random.key(n), n)
+    assert s._decode_packed._cache_size() == 1
+    # multi-chunk path with a tail still compiles no new shapes
+    s.sample(jax.random.key(9), 35)  # 16 + 16 + padded tail of 3
+    assert s._decode_packed._cache_size() == 1
+    # focused mode (100-probe path + per-sample decode)
+    s.sample_focused(jax.random.key(10), 3, n_probes=8)
+    assert s._decode_packed._cache_size() == 1
+    assert s._decode_probs._cache_size() == 1

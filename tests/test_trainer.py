@@ -198,3 +198,4 @@ def test_checkpoint_roundtrip(tmp_path):
     chex = pytest.importorskip("chex")
     chex.assert_trees_all_close(jax.tree.map(np.asarray, st.params), params2)
     chex.assert_trees_all_close(jax.tree.map(np.asarray, st.batch_stats), stats2)
+

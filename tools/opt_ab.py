@@ -1,5 +1,5 @@
 #!/usr/bin/env python3
-"""A/B: v0 bs=32 train throughput with the fused Pallas optimizer on vs off.
+"""A/B: v0 bs=32 train throughput with the fused one-pass optimizer on vs off.
 
 Run on the TPU host: python tools/opt_ab.py
 """
@@ -25,7 +25,7 @@ def make_trainer(use_fused: bool):
     config.batch_size = BATCH
     config.compute_dtype = "bfloat16"
     config.print_every = 10 ** 9
-    config.use_pallas_optimizer = use_fused
+    config.use_fused_optimizer = use_fused
     return T.create_trainer("v0", config, input_dim=INPUT_DIM)
 
 

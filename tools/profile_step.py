@@ -184,8 +184,7 @@ def main():
 
     timeit("T5 steps w/ optax optimizer", optax_step, trainer.init_state(), data)
 
-    # T6: full step, jnp loss (no pallas fused loss)
-    trainer.config.use_pallas_loss = False
+    # T6: full step, jnp loss (now the only loss path)
 
     @jax.jit
     def jnp_loss_steps(st, d):
@@ -197,7 +196,6 @@ def main():
         return st, jnp.sum(tots)
 
     timeit("T6 steps w/ jnp loss", jnp_loss_steps, trainer.init_state(), data)
-    trainer.config.use_pallas_loss = True
 
 
 if __name__ == "__main__":
