@@ -108,11 +108,23 @@ class IntegratedExperimentRunner:
         ckpt_path = os.path.join(self.model_dir, "train_state_{epoch}.npz") \
             if self.config.checkpoint_every else None
         from .utils.profiling import trace
+        max_restarts = getattr(self.config, "max_restarts", 0)
         with trace(self.config.profile_dir or None):
-            tl, vl, epochs = self.trainer.train(
-                train_x, val_x, state=state, start_epoch=start_epoch,
-                checkpoint_path=ckpt_path,
-                checkpoint_every=self.config.checkpoint_every)
+            if max_restarts and ckpt_path:
+                from .utils.elastic import train_with_restarts
+
+                tl, vl, epochs, restarts = train_with_restarts(
+                    self.trainer, train_x, val_x, checkpoint_path=ckpt_path,
+                    checkpoint_every=self.config.checkpoint_every,
+                    max_restarts=max_restarts)
+                if restarts:
+                    self.logger.warning("Training auto-restarted %d time(s)",
+                                        restarts)
+            else:
+                tl, vl, epochs = self.trainer.train(
+                    train_x, val_x, state=state, start_epoch=start_epoch,
+                    checkpoint_path=ckpt_path,
+                    checkpoint_every=self.config.checkpoint_every)
         self.results["train_loss_vals"] = tl
         self.results["val_loss_vals"] = vl
         self.results["epochs_trained"] = epochs

@@ -80,6 +80,8 @@ class ExperimentConfig:
     # Fault tolerance / observability (absent in the reference — SURVEY.md §5)
     checkpoint_every: int = 0     # full train-state checkpoint every N epochs
     resume_from: str = ""         # path to a train-state checkpoint to resume
+    max_restarts: int = 0         # auto-resume from the newest checkpoint
+                                  # after in-process crashes (utils/elastic.py)
     profile_dir: str = ""         # jax.profiler trace output directory
 
     def to_dict(self) -> Dict[str, Any]:
@@ -290,6 +292,10 @@ def add_config_arguments(parser: argparse.ArgumentParser):
                           help="Write a full train-state checkpoint every N epochs")
     ft_group.add_argument("--resume-from", type=str,
                           help="Resume training from a train-state checkpoint")
+    ft_group.add_argument("--max-restarts", type=int,
+                          help="Auto-resume from the newest checkpoint after "
+                               "crashes, up to N times (needs "
+                               "--checkpoint-every)")
     ft_group.add_argument("--profile-dir", type=str,
                           help="Write a jax.profiler trace of training here")
 
