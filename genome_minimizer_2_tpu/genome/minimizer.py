@@ -149,6 +149,56 @@ class MinimizerEngine:
         ess = np.array([str(n) in essential_set for n in self.gene_names], bool)
         return col_idx, ess
 
+    def feature_lookup_packed(
+        self, cols: Sequence[str], keep_mask: np.ndarray, essential_set
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """feature_lookup in ORIGINAL (pre-dedupe) column space, for packed
+        presence bitmasks straight off the sampler: ``cols`` are the deduped
+        names, ``keep_mask`` the dedupe keep-flags over the original columns.
+        Duplicate names resolve to their first-occurrence column — the same
+        value the staged dedupe path reads."""
+        col_idx, ess = self.feature_lookup(cols, essential_set)
+        orig_pos = np.nonzero(np.asarray(keep_mask))[0].astype(np.int64)
+        col_idx = np.where(col_idx >= 0, orig_pos[np.maximum(col_idx, 0)], -1)
+        return col_idx, ess
+
+    def minimize_packed_to_fasta(
+        self,
+        packed: np.ndarray,
+        col_idx: np.ndarray,
+        ess: np.ndarray,
+        path: str,
+        start_index: int = 0,
+        append: bool = False,
+        use_native: bool | None = None,
+    ) -> np.ndarray:
+        """FASTA directly from PACKED presence bitmasks (uint8, little bit
+        order over the original dataset columns — the sampler's on-device
+        format). The converter decision (keep feature iff its gene's bit is
+        set or it is essential) runs inside the native minimize workers, so
+        the host never materializes unpacked masks or dense drop matrices
+        (8x smaller stream than the staged path; byte-identical output —
+        tested in test_pipeline.py / native/test_gm2min.cpp)."""
+        from . import native
+
+        packed = np.ascontiguousarray(packed, np.uint8)
+        if use_native is None:
+            use_native = native.available() and packed.shape[0] > 1
+        if use_native:
+            return native.minimize_packed_to_fasta(
+                self.seq_bytes, self.starts, self.ends, packed,
+                col_idx, ess, path, SEQ_ID_PREFIX,
+                start_index=start_index, append=append)
+        # fallback: identical semantics via the staged unpack -> drop path
+        bits = np.unpackbits(packed, axis=1, bitorder="little")
+        padded = np.concatenate(
+            [bits.astype(bool),
+             np.zeros((bits.shape[0], 1), bool)], axis=1)
+        present = padded[:, col_idx]  # col_idx == -1 -> the padded False col
+        drop = (~(present | np.asarray(ess, bool)[None, :])).astype(np.uint8)
+        return self.minimize_drop_to_fasta(drop, path, start_index=start_index,
+                                           append=append, use_native=False)
+
     def drop_masks_from_binary(
         self, binary: np.ndarray, col_idx: np.ndarray, ess: np.ndarray
     ) -> np.ndarray:

@@ -77,6 +77,12 @@ def get_lib():
             ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p,
         ]
         lib.gm2_minimize_to_fasta.restype = ctypes.c_int
+        lib.gm2_minimize_packed_to_fasta.argtypes = [
+            u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64, u8p,
+            ctypes.c_int64, i64p, u8p, ctypes.c_int64, ctypes.c_char_p,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p,
+        ]
+        lib.gm2_minimize_packed_to_fasta.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -140,4 +146,42 @@ def minimize_to_fasta(
         start_index, int(append), n_threads, out_lens)
     if rc != 0:
         raise RuntimeError(f"gm2_minimize_to_fasta failed: rc={rc}")
+    return out_lens
+
+
+def minimize_packed_to_fasta(
+    seq_bytes: np.ndarray,
+    starts: np.ndarray,
+    ends: np.ndarray,
+    packed: np.ndarray,      # (n_samples, stride) uint8, little bit order
+    col_idx: np.ndarray,     # (F,) int64 — dataset column per feature, -1=none
+    ess: np.ndarray,         # (F,) bool/uint8 — essential flags
+    path: str,
+    header_prefix: str,
+    start_index: int = 0,
+    append: bool = False,
+    n_threads: int = 0,
+) -> np.ndarray:
+    """Converter-fused native FASTA: the feature drop decision
+    (kept iff bit(col_idx) set or essential) runs inside the minimize
+    workers straight off the PACKED presence bitmasks — the host never
+    materializes unpacked masks (8x smaller stream than the staged path;
+    byte-identical output)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    seq_bytes = np.ascontiguousarray(seq_bytes, np.uint8)
+    starts = np.ascontiguousarray(starts, np.int64)
+    ends = np.ascontiguousarray(ends, np.int64)
+    packed = np.ascontiguousarray(packed, np.uint8)
+    col_idx = np.ascontiguousarray(col_idx, np.int64)
+    ess = np.ascontiguousarray(ess, np.uint8)
+    n = packed.shape[0]
+    out_lens = np.zeros(n, np.int64)
+    rc = lib.gm2_minimize_packed_to_fasta(
+        seq_bytes, seq_bytes.shape[0], starts, ends, starts.shape[0],
+        packed, packed.shape[1], col_idx, ess, n, path.encode(),
+        header_prefix.encode(), start_index, int(append), n_threads, out_lens)
+    if rc != 0:
+        raise RuntimeError(f"gm2_minimize_packed_to_fasta failed: rc={rc}")
     return out_lens

@@ -79,11 +79,14 @@ def sample_and_minimize(
         raise ValueError(
             f"column count {keep_mask.size} != model input dim "
             f"{sampler.cfg.input_dim}")
-    # Vectorized convert: per-feature column index + essential flag computed
-    # once; the per-chunk mask->drop conversion is then a pure numpy gather.
-    # Equivalent to building each sample's sorted gene list and testing
-    # feature membership (tested vs the staged path).
-    col_idx, ess_flags = engine.feature_lookup(cols_arr, essential_set)
+    # Converter fused into the native minimize workers: per-feature column
+    # index (original column space) + essential flag computed once; each
+    # chunk's PACKED bitmask feeds the C++ core directly — the host never
+    # unpacks masks or materializes drop matrices. Equivalent to building
+    # each sample's sorted gene list and testing feature membership (tested
+    # vs the staged path in test_pipeline.py).
+    col_idx, ess_flags = engine.feature_lookup_packed(cols_arr, keep_mask,
+                                                      essential_set)
 
     lo_all = pi * num_samples // pc
     hi_all = (pi + 1) * num_samples // pc
@@ -134,19 +137,14 @@ def sample_and_minimize(
 
         # -- sample: wait for the packed bitmask of this chunk ------------
         t0 = time.perf_counter()
-        binary = sampler.unpack_packed(dev, rows=hi - lo)
+        packed = np.asarray(dev)[: hi - lo]
         stats.sample_s += time.perf_counter() - t0
 
-        # -- convert: masks -> per-feature drop masks (vectorized) --------
+        # -- convert+minimize: packed bits -> FASTA in the native workers -
         t0 = time.perf_counter()
-        drop = engine.drop_masks_from_binary(binary[:, keep_mask], col_idx,
-                                             ess_flags)
-        stats.convert_s += time.perf_counter() - t0
-
-        # -- minimize: intervals -> FASTA (native core) -------------------
-        t0 = time.perf_counter()
-        engine.minimize_drop_to_fasta(drop, shard_path, start_index=lo,
-                                      append=True)
+        engine.minimize_packed_to_fasta(packed, col_idx, ess_flags,
+                                        shard_path, start_index=lo,
+                                        append=True)
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 

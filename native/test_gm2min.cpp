@@ -23,6 +23,10 @@ int gm2_minimize_to_fasta(const uint8_t*, int64_t, const int64_t*,
                           const int64_t*, int64_t, const uint8_t*, int64_t,
                           const char*, const char*, int64_t, int, int,
                           int64_t*);
+int gm2_minimize_packed_batch(const uint8_t*, int64_t, const int64_t*,
+                              const int64_t*, int64_t, const uint8_t*,
+                              int64_t, const int64_t*, const uint8_t*,
+                              int64_t, uint8_t*, int64_t*, int);
 }
 
 namespace {
@@ -102,6 +106,61 @@ int main() {
     }
   }
   std::remove(path);
+
+  // --- packed-presence mode: expand on the test side, compare against the
+  // dense-drop path (same sweep underneath, many threads — TSan-covered) ---
+  {
+    const int64_t n_cols = 977;  // not a multiple of 8: stride rounds up
+    const int64_t stride = (n_cols + 7) / 8;
+    std::vector<int64_t> col_idx(static_cast<size_t>(F));
+    std::vector<uint8_t> ess(static_cast<size_t>(F));
+    for (int64_t f = 0; f < F; ++f) {
+      col_idx[static_cast<size_t>(f)] =
+          (rng() % 10 == 0) ? -1 : static_cast<int64_t>(rng() % n_cols);
+      ess[static_cast<size_t>(f)] = rng() % 7 == 0;
+    }
+    std::vector<uint8_t> packed(static_cast<size_t>(N * stride));
+    for (auto& b : packed) b = static_cast<uint8_t>(rng() & 0xff);
+    std::vector<uint8_t> drop_ref(static_cast<size_t>(N * F));
+    for (int64_t i = 0; i < N; ++i) {
+      const uint8_t* row = packed.data() + i * stride;
+      for (int64_t f = 0; f < F; ++f) {
+        int64_t c = col_idx[static_cast<size_t>(f)];
+        bool present = c >= 0 && ((row[c >> 3] >> (c & 7)) & 1u);
+        drop_ref[static_cast<size_t>(i * F + f)] =
+            (ess[static_cast<size_t>(f)] || present) ? 0 : 1;
+      }
+    }
+    std::vector<uint8_t> out_b(static_cast<size_t>(N * L));
+    std::vector<int64_t> len_a(static_cast<size_t>(N)),
+        len_b(static_cast<size_t>(N));
+    rc = gm2_minimize_packed_batch(seq.data(), L, starts.data(), ends.data(),
+                                   F, packed.data(), stride, col_idx.data(),
+                                   ess.data(), N, out.data(), len_a.data(),
+                                   16);
+    if (rc != 0) {
+      std::fprintf(stderr, "FAIL: packed batch rc=%d\n", rc);
+      return 1;
+    }
+    rc = gm2_minimize_batch(seq.data(), L, starts.data(), ends.data(), F,
+                            drop_ref.data(), N, out_b.data(), len_b.data(),
+                            16);
+    if (rc != 0) {
+      std::fprintf(stderr, "FAIL: dense batch rc=%d\n", rc);
+      return 1;
+    }
+    for (int64_t i = 0; i < N; ++i) {
+      if (len_a[static_cast<size_t>(i)] != len_b[static_cast<size_t>(i)] ||
+          std::memcmp(out.data() + i * L, out_b.data() + i * L,
+                      static_cast<size_t>(len_a[static_cast<size_t>(i)])) !=
+              0) {
+        std::fprintf(stderr, "FAIL: packed vs dense mismatch at %lld\n",
+                     static_cast<long long>(i));
+        return 1;
+      }
+    }
+  }
+
   std::printf("gm2min native tests PASS (%lld genomes)\n",
               static_cast<long long>(N));
   return 0;

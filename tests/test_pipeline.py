@@ -120,3 +120,34 @@ def test_pipeline_cli(synth_root, tmp_path, monkeypatch):
     assert rc == 0
     text = out.read_text()
     assert text.count(">") == 6
+
+
+def test_packed_native_fasta_matches_staged_path(setup, tmp_path):
+    """minimize_packed_to_fasta (converter fused into the native workers,
+    fed packed bitmasks) must be byte-identical to the staged
+    unpack -> drop-mask -> minimize path, with and without the native lib."""
+    sampler, engine, cols, essential_set = setup
+    from genome_minimizer_2_tpu.genome import native as N
+    from genome_minimizer_2_tpu.genome.converter import dedupe_columns
+
+    cols_arr, keep_mask = dedupe_columns(np.asarray(cols))
+    col_idx, ess = engine.feature_lookup_packed(cols_arr, keep_mask,
+                                                essential_set)
+    z = np.asarray(jax.random.normal(jax.random.key(3),
+                                     (11, sampler.cfg.latent_dim)))
+    dev = sampler.decode_packed_device(z)
+    packed = np.asarray(dev)[:11]
+    binary = sampler.unpack_packed(dev, rows=11)
+
+    # staged oracle
+    ci_d, ess_d = engine.feature_lookup(cols_arr, essential_set)
+    drop = engine.drop_masks_from_binary(binary[:, keep_mask], ci_d, ess_d)
+    staged = tmp_path / "staged.fasta"
+    engine.minimize_drop_to_fasta(drop, str(staged), use_native=False)
+
+    for label, use_native in (("fallback", False),
+                              ("native", N.available())):
+        out = tmp_path / f"packed_{label}.fasta"
+        engine.minimize_packed_to_fasta(packed, col_idx, ess, str(out),
+                                        use_native=use_native)
+        assert out.read_bytes() == staged.read_bytes(), label
