@@ -129,24 +129,38 @@ def sample_and_minimize(
     for _ in range(min(max(1, prefetch), len(spans))):
         pending.append(submit(next(it)))
 
-    while pending:
-        lo, hi, dev = pending.popleft()
-        nxt = next(it, None)
-        if nxt is not None:
-            pending.append(submit(nxt))
+    # Three-way overlap: the TPU decodes chunk k+P (async dispatch), the
+    # main thread drains chunk k+1's device->host transfer, and ONE worker
+    # thread runs chunk k's native convert+minimize (the C++ call releases
+    # the GIL; a single ordered worker keeps FASTA appends sequential).
+    from concurrent.futures import ThreadPoolExecutor
 
-        # -- sample: wait for the packed bitmask of this chunk ------------
-        t0 = time.perf_counter()
-        packed = np.asarray(dev)[: hi - lo]
-        stats.sample_s += time.perf_counter() - t0
-
-        # -- convert+minimize: packed bits -> FASTA in the native workers -
+    def minimize_chunk(packed, lo, hi):
         t0 = time.perf_counter()
         engine.minimize_packed_to_fasta(packed, col_idx, ess_flags,
                                         shard_path, start_index=lo,
                                         append=True)
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        futures = deque()
+        while pending:
+            lo, hi, dev = pending.popleft()
+            nxt = next(it, None)
+            if nxt is not None:
+                pending.append(submit(nxt))
+
+            # -- sample: wait for the packed bitmask of this chunk --------
+            t0 = time.perf_counter()
+            packed = np.asarray(dev)[: hi - lo]
+            stats.sample_s += time.perf_counter() - t0
+
+            futures.append(pool.submit(minimize_chunk, packed, lo, hi))
+            while len(futures) > 2:  # bound buffered chunks
+                futures.popleft().result()
+        for f in futures:
+            f.result()
 
     if sharded:
         barrier.mark_shard_done(shard_path)

@@ -132,16 +132,26 @@ class Sampler:
         for lo in range(0, n, self.chunk_size):
             yield lo, min(lo + self.chunk_size, n)
 
-    def _decode_chunked(self, z: np.ndarray, fn, trim: int | None = None) -> np.ndarray:
+    def _decode_chunked(self, z: np.ndarray, fn, trim: int | None = None,
+                        window: int = 4) -> np.ndarray:
         """Run fn over fixed-size chunks (padding the tail so only one program
         is compiled), trimming padding and the feature axis to ``trim``
-        columns (default: input_dim)."""
+        columns (default: input_dim).
+
+        Chunks are dispatched ``window`` ahead with eager device->host copies
+        (JAX async dispatch), so the device decodes chunk k+w while the host
+        drains chunk k's transfer — on tunneled/multi-host rigs the transfer
+        is the sampling bottleneck. The window bounds device-side live
+        buffers (matters for the dense-probability decode: a chunk of f32
+        probabilities is ~215 MB at real dims)."""
+        from collections import deque
+
         from ..core.dtypes import round_up
 
         n = z.shape[0]
         D = self.cfg.input_dim if trim is None else trim
-        outs = []
-        for lo, hi in self._chunks(n):
+
+        def submit(lo, hi):
             chunk = z[lo:hi]
             # pad EVERY partial chunk (tail, and any n < chunk_size) to the
             # full chunk shape, so exactly ONE program is ever compiled per
@@ -152,11 +162,28 @@ class Sampler:
             target = round_up(target, self._row_parallel())
             pad = target - (hi - lo)
             if pad:
-                chunk = np.concatenate([chunk, np.zeros((pad,) + z.shape[1:], z.dtype)])
-            out = np.asarray(fn(self.params, self.batch_stats, jnp.asarray(chunk)))
-            if pad:
-                out = out[: hi - lo]
-            outs.append(out[:, :D])
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + z.shape[1:], z.dtype)])
+            out = fn(self.params, self.batch_stats, jnp.asarray(chunk))
+            try:
+                out.copy_to_host_async()
+            except Exception:  # pragma: no cover — backend-dependent
+                pass
+            return lo, hi, out
+
+        spans = iter(self._chunks(n))
+        pending: deque = deque()
+        outs = []
+        while True:
+            while len(pending) < max(1, window):
+                span = next(spans, None)
+                if span is None:
+                    break
+                pending.append(submit(*span))
+            if not pending:
+                break
+            lo, hi, dev = pending.popleft()
+            outs.append(np.asarray(dev)[: hi - lo, :D])
         return np.concatenate(outs, axis=0)
 
     def decode_binary(self, z: np.ndarray) -> np.ndarray:
