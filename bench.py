@@ -276,27 +276,28 @@ def main():
         return med
 
     backend = jax.default_backend()
-    # minimize first: it is pure CPU and the TPU client's service threads
-    # contend for this host's 2 cores once device work starts
+    # Phase order = metric priority: the remote-compile service occasionally
+    # stalls for many minutes on ONE program, and once the soft budget is
+    # gone only already-run phases report. minimize first (pure CPU — the
+    # TPU client's service threads contend for the 2 cores once device work
+    # starts), then the two headline training metrics, then the rest.
     minimize_gps = phase("minimize", bench_minimizer, trials=3)
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
                       trials=3)
+    # bs=2048: the matmul-bound (MXU) regime — the train_tflops metric
+    trainer_2048 = _make_trainer(2048)
+    train_eps_2048 = phase("train_bs2048",
+                           lambda: bench_training(trainer_2048, 8192),
+                           trials=3)
     sample_gps = phase("sampling", lambda: bench_sampling(trainer),
                        optional=True, trials=3)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
                          optional=True, trials=3)
-    # batch 256 / 2048: throughput headroom as the per-step optimizer/weight
-    # traffic amortizes; bs=2048 approaches the matmul-bound (MXU) regime
-    # (one trainer per batch size: the compiled epoch program caches on it)
     trainer_256 = _make_trainer(256)
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(trainer_256, N_TRAIN),
                           optional=True, trials=2)
-    trainer_2048 = _make_trainer(2048)
-    train_eps_2048 = phase("train_bs2048",
-                           lambda: bench_training(trainer_2048, 8192),
-                           optional=True, trials=3)
 
     base_eps = baseline.get("examples_per_sec")
     rnd = lambda v, p=1: round(v, p) if v is not None else None
