@@ -188,7 +188,8 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     return n_genomes / dt
 
 
-def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128) -> float:
+def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128,
+                   transfer: str = "auto") -> float:
     """End-to-end genomes sampled+minimized/s (the BASELINE.json headline
     secondary metric): streaming pipeline with the flagship model dims and a
     synthetic E. coli-scale genome. Multi-chunk so the software pipelining
@@ -224,10 +225,11 @@ def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128) -> float:
     # cost ~60s per program); the metric is the steady-state rate
     sample_and_minimize(s, engine, cols, essential_set, chunk, out,
                         key=jax.random.key(0), chunk_size=chunk,
-                        process_index=0, process_count=1)
+                        process_index=0, process_count=1, transfer=transfer)
     stats = sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
                                 key=jax.random.key(0), chunk_size=chunk,
-                                process_index=0, process_count=1)
+                                process_index=0, process_count=1,
+                                transfer=transfer)
     os.remove(out)
     return stats.rate()
 

@@ -5,10 +5,12 @@ that materialize full dense intermediates on disk (binary_samples.npy — at
 100k samples x 55k genes that is ~44 GB as float64). This module fuses the
 stages into a bounded-memory stream, per BASELINE.json config 5 ("pod-scale
 batch design"): each chunk of latents is decoded to packed bitmasks on the
-TPU (Pallas fused decode+threshold+bitpack, 8x smaller transfer), unpacked,
-converted to gene lists with essential-gene backfill, minimized by the native
-C++ core, and appended to a FASTA shard. Hosts partition the sample axis and
-host 0 merges shards in process order (byte-identical to single-host output).
+TPU (Pallas fused decode+threshold+bitpack, 8x smaller transfer), fed
+straight to the native C++ minimize workers (converter fused in), and
+appended to a FASTA shard. A ``transfer="feature-bits"`` opt-in shrinks the
+link traffic a further ~14x for link-bound deployments (see
+``sample_and_minimize``). Hosts partition the sample axis and host 0 merges
+shards in process order (byte-identical to single-host output).
 
 Semantics match the staged reference pipeline exactly: sampling thresholds
 strictly (>0.5), conversion's >=0.5 is a no-op on binary masks, dedupe keeps
@@ -32,6 +34,7 @@ import numpy as np
 from .core.prng import draw_latents
 from .genome.converter import dedupe_columns
 from .genome.minimizer import MinimizerEngine
+from .ops.pallas_kernels import unpack_bits
 from .sample.sampler import Sampler
 
 logger = logging.getLogger(__name__)
@@ -64,11 +67,26 @@ def sample_and_minimize(
     merge: bool = True,
     write_header: bool = True,
     prefetch: int = 2,
+    transfer: str = "auto",
 ) -> PipelineStats:
     """Stream ``num_samples`` synthetic genomes into ``output_file``.
 
     Multi-host: each host handles samples [pi*n/pc, (pi+1)*n/pc) into
     ``output_file.shard{pi}``; host 0 merges. Single host writes directly.
+
+    ``transfer`` selects what crosses the device->host link per chunk:
+    ``"packed"`` ships the full packed gene bitmask (ceil(D/8) bytes/genome,
+    converter fused into the native minimize workers); ``"feature-bits"``
+    ships only the per-GenBank-feature keep decisions (ceil(F/8)
+    bytes/genome — ~14x less at E. coli scale, gathered on device from the
+    same packed mask so the output is byte-identical). ``"auto"`` currently
+    resolves to packed: A/B on this rig (tools/probe_pipeline_transfer.py,
+    alternating runs) showed the pipeline is bound by the native minimize
+    under TPU-client CPU contention, not by the link — packed medians ~89/s
+    vs feature-bits ~62/s (the host-side unpack adds work to the bound
+    resource). feature-bits is the right choice when the link is genuinely
+    the wall (e.g. many host cores + DCN-attached accelerators); it stays a
+    supported opt-in.
     """
     key = jax.random.key(0) if key is None else key
     pi = jax.process_index() if process_index is None else process_index
@@ -87,6 +105,15 @@ def sample_and_minimize(
     # vs the staged path in test_pipeline.py).
     col_idx, ess_flags = engine.feature_lookup_packed(cols_arr, keep_mask,
                                                       essential_set)
+
+    n_features = int(col_idx.size)
+    if transfer not in ("auto", "packed", "feature-bits"):
+        raise ValueError(f"unknown transfer mode {transfer!r}")
+    if transfer == "auto":
+        transfer = "packed"  # measured default on this rig — see docstring
+    feature_bits = transfer == "feature-bits"
+    decode_features = (sampler.make_feature_decoder(col_idx, ess_flags)
+                       if feature_bits else None)
 
     lo_all = pi * num_samples // pc
     hi_all = (pi + 1) * num_samples // pc
@@ -122,7 +149,9 @@ def sample_and_minimize(
         # decoded but trimmed by unpack_packed(rows=hi-lo) below
         idx = jnp.arange(lo, lo + chunk_size)
         z = draw_latents(key, idx, latent_dim)
-        return lo, hi, sampler.decode_packed_device(z)
+        dev = (decode_features(z) if feature_bits
+               else sampler.decode_packed_device(z))
+        return lo, hi, dev
 
     it = iter(spans)
     pending: deque = deque()
@@ -135,11 +164,16 @@ def sample_and_minimize(
     # the GIL; a single ordered worker keeps FASTA appends sequential).
     from concurrent.futures import ThreadPoolExecutor
 
-    def minimize_chunk(packed, lo, hi):
+    def minimize_chunk(arr, lo, hi):
         t0 = time.perf_counter()
-        engine.minimize_packed_to_fasta(packed, col_idx, ess_flags,
-                                        shard_path, start_index=lo,
-                                        append=True)
+        if feature_bits:
+            keep = unpack_bits(arr, n_features)
+            engine.minimize_drop_to_fasta(1 - keep, shard_path,
+                                          start_index=lo, append=True)
+        else:
+            engine.minimize_packed_to_fasta(arr, col_idx, ess_flags,
+                                            shard_path, start_index=lo,
+                                            append=True)
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 

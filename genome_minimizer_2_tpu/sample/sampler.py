@@ -121,6 +121,9 @@ class Sampler:
             mean, _, _ = vae.encode(cfg, params, stats, x, train=False)
             return mean
 
+        self._packed_fn = _decode_packed_fn  # unjitted core, reused by
+        # make_feature_decoder so feature bits derive from the SAME packed
+        # mask (bit-identical threshold decisions)
         self._decode_packed = self._jit_rowwise(_decode_packed_fn)
         self._decode_binary = self._jit_rowwise(_decode_binary_fn)
         self._decode_probs = self._jit_rowwise(_decode_probs_fn)
@@ -217,6 +220,70 @@ class Sampler:
         except Exception:  # pragma: no cover — backend-dependent
             pass
         return out
+
+    def make_feature_decoder(self, col_idx: np.ndarray, ess: np.ndarray):
+        """Build a chunk decoder that ships only per-FEATURE keep bits.
+
+        The genome minimizer consumes ONE decision per GenBank gene feature —
+        keep iff the feature's gene bit is set or the gene is essential
+        (MinimizerEngine.feature_lookup_packed) — so transferring the full
+        packed gene mask (ceil(D/8) bytes/genome) ships ~14x more than the
+        decision entropy at E. coli scale (~4k features vs ~55k gene columns).
+        Use this when the device->host link is the pipeline bottleneck (it
+        shrinks per-genome traffic from ~6.9 KB to ~0.5 KB); when the native
+        minimize is the wall instead — as measured on this 2-core rig — the
+        host-side unpack makes it a net loss, so the pipeline defaults to the
+        packed transfer (see pipeline.sample_and_minimize).
+
+        The feature bits are gathered and repacked ON DEVICE from the same
+        packed mask the full path transfers (the fused decode+threshold+pack
+        kernel is shared, so the threshold decisions are bit-identical); the
+        gather itself is ~1 MB/chunk and off the critical path. Returns a
+        callable ``decode(z) -> jax.Array`` with :meth:`decode_packed_device`
+        semantics (async dispatch + eager host copy) yielding uint8
+        (rows, ceil(F/8)) KEEP bits, little bit order. Unpack with
+        ``unpack_bits(out, F)``; the minimizer's drop mask is ``1 - keep``.
+        """
+        from ..ops.pallas_kernels import _pack_bits_2d
+
+        from ..core.dtypes import round_up
+
+        col_idx = np.asarray(col_idx, np.int64)
+        F = col_idx.size
+        F8 = round_up(F, 8)
+        valid = col_idx >= 0
+        byte_idx = np.where(valid, col_idx >> 3, 0).astype(np.int32)
+        bit_shift = np.where(valid, col_idx & 7, 0).astype(np.int32)
+        # col_idx == -1 means the gene is not a dataset column: present is
+        # always False there, so keep reduces to the essential flag
+        always = np.asarray(ess, bool).astype(np.int32)
+
+        packed_fn = self._packed_fn
+
+        def _feature_core(params, stats, z):
+            packed = packed_fn(params, stats, z).astype(jnp.int32)
+            g = jnp.take(packed, jnp.asarray(byte_idx), axis=1)
+            bits = (g >> jnp.asarray(bit_shift)) & 1
+            keep = jnp.where(jnp.asarray(valid), bits, 0) | jnp.asarray(always)
+            keep = jnp.pad(keep, ((0, 0), (0, F8 - F)))
+            return _pack_bits_2d(keep)
+
+        fn = self._jit_rowwise(_feature_core)
+
+        def decode(z, pad_to: int | None = None) -> jax.Array:
+            z = z if isinstance(z, jax.Array) else jnp.asarray(z)
+            target = max(z.shape[0], pad_to or 0)
+            pad = round_up(target, self._row_parallel()) - z.shape[0]
+            if pad:
+                z = jnp.pad(z, ((0, pad), (0, 0)))
+            out = fn(self.params, self.batch_stats, z)
+            try:
+                out.copy_to_host_async()
+            except Exception:  # pragma: no cover — backend-dependent
+                pass
+            return out
+
+        return decode
 
     def unpack_packed(self, packed, rows: int | None = None) -> np.ndarray:
         """Host-side finish of decode_packed_device: trim padding rows/columns

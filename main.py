@@ -49,6 +49,11 @@ def parse_arguments(argv=None):
                         help="Pipeline/sampling device chunk size; also the "
                              "row-chunk size for streaming convert-samples "
                              "over memory-mapped mask files (0 = whole-file)")
+    parser.add_argument("--transfer", choices=["auto", "packed", "feature-bits"],
+                        default="auto",
+                        help="Pipeline device->host transfer: 'packed' gene "
+                             "bitmasks (default via auto) or 'feature-bits' "
+                             "(~14x less link traffic; for link-bound rigs)")
     parser.add_argument("--preset", choices=["v0", "v1", "v2", "v3"], default="v3",
                         help="Which model preset to run (for training mode)")
     parser.add_argument("--epochs", type=int, default=None,
@@ -448,7 +453,7 @@ def run_pipeline(args) -> bool:
     stats = sample_and_minimize(
         sampler, engine, cols, essential_set, args.num_samples, out,
         key=jax.random.key(args.seed), chunk_size=args.chunk_size,
-        model_name=args.model_name)
+        model_name=args.model_name, transfer=args.transfer)
     print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
     print(f"- Throughput: {stats.rate():.1f} genomes/s "
           f"(sample {stats.sample_s:.1f}s, convert {stats.convert_s:.1f}s, "

@@ -121,6 +121,71 @@ def test_pipeline_cli(synth_root, tmp_path, monkeypatch):
     text = out.read_text()
     assert text.count(">") == 6
 
+    out_fb = tmp_path / "pipe_out_fb.fasta"
+    rc = cli.main(["--mode", "pipeline", "--model-path", str(ckpt),
+                   "--num-samples", "6", "--output-file", str(out_fb),
+                   "--model-name", "v0", "--chunk-size", "4",
+                   "--transfer", "feature-bits"])
+    assert rc == 0
+    body = lambda t: t.partition("# Generated on")[2].split("\n", 1)[1]
+    assert body(out_fb.read_text()) == body(text)
+
+
+def test_pipeline_transfer_modes_identical(setup, tmp_path):
+    """feature-bits (per-feature keep decisions gathered on device) must be
+    byte-identical to the packed-gene-mask transfer, and to the staged
+    oracle."""
+    sampler, engine, cols, essential_set = setup
+    key = jax.random.key(9)
+    bodies = {}
+    for mode in ("packed", "feature-bits"):
+        out = tmp_path / f"{mode}.fasta"
+        stats = sample_and_minimize(sampler, engine, cols, essential_set, 13,
+                                    str(out), key=key, chunk_size=6,
+                                    process_index=0, process_count=1,
+                                    transfer=mode)
+        assert stats.genomes == 13
+        bodies[mode] = out.read_text().partition("# Generated on")[2].split(
+            "\n", 1)[1]
+    assert bodies["feature-bits"] == bodies["packed"]
+    expected = _expected_records(sampler, engine, cols, essential_set, 13, key)
+    assert bodies["packed"] == expected
+
+
+def test_pipeline_transfer_rejects_unknown(setup, tmp_path):
+    sampler, engine, cols, essential_set = setup
+    with pytest.raises(ValueError, match="transfer"):
+        sample_and_minimize(sampler, engine, cols, essential_set, 2,
+                            str(tmp_path / "x.fasta"), chunk_size=2,
+                            process_index=0, process_count=1,
+                            transfer="bogus")
+
+
+def test_feature_decoder_matches_packed_decisions(setup):
+    """The on-device feature gather reproduces keep = present | essential,
+    including col_idx == -1 features (gene absent from the dataset
+    columns)."""
+    from genome_minimizer_2_tpu.ops.pallas_kernels import unpack_bits
+
+    sampler, engine, cols, essential_set = setup
+    cols_arr, keep_mask = dedupe_columns(np.asarray(cols))
+    col_idx, ess = engine.feature_lookup_packed(cols_arr, keep_mask,
+                                                essential_set)
+    # inject an out-of-vocabulary feature mapping (essential and not)
+    col_idx = np.concatenate([col_idx, [-1, -1]])
+    ess = np.concatenate([ess, [True, False]])
+    F = col_idx.size
+    z = np.asarray(jax.random.normal(jax.random.key(4),
+                                     (9, sampler.cfg.latent_dim)))
+    dev = sampler.decode_packed_device(z)
+    binary = sampler.unpack_packed(dev, rows=9).astype(bool)
+    padded = np.concatenate([binary, np.zeros((9, 1), bool)], axis=1)
+    expect = padded[:, col_idx] | ess[None, :]
+
+    decode = sampler.make_feature_decoder(col_idx, ess)
+    got = unpack_bits(np.asarray(decode(z))[:9], F).astype(bool)
+    np.testing.assert_array_equal(got, expect)
+
 
 def test_packed_native_fasta_matches_staged_path(setup, tmp_path):
     """minimize_packed_to_fasta (converter fused into the native workers,
