@@ -9,6 +9,9 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread gm2min.cpp -o libgm2min.so
 
+#include <fcntl.h>
+#include <unistd.h>
+
 #include <algorithm>
 #include <atomic>
 #include <cstdint>
@@ -20,6 +23,25 @@
 #include <vector>
 
 namespace {
+
+// Minimized length only — the sweep's interval arithmetic without the
+// copies. O(F); lets the FASTA writer precompute every record's byte offset
+// so workers can pwrite records fully in parallel (no ordered write section).
+int64_t sweep_len(int64_t L, const int64_t* starts, const int64_t* ends,
+                  const int64_t* order, int64_t F, const uint8_t* drop) {
+  int64_t cur = 0;
+  int64_t n = 0;
+  for (int64_t k = 0; k < F; ++k) {
+    int64_t f = order[k];
+    if (!drop[f]) continue;
+    int64_t s = starts[f] < 0 ? 0 : (starts[f] > L ? L : starts[f]);
+    int64_t e = ends[f] > L ? L : ends[f];
+    if (s > cur) n += s - cur;
+    if (e > cur) cur = e;
+  }
+  if (cur < L) n += L - cur;
+  return n;
+}
 
 // Merge-sweep over features sorted by start: for each dropped interval, copy
 // the kept gap before it, then advance past its end. Equivalent to the
@@ -158,57 +180,140 @@ int gm2_minimize_packed_batch(const uint8_t* seq, int64_t L,
 
 // Minimize a batch and append FASTA records directly to `path`:
 //   >{header_prefix}_{start_index + i + 1}\n{seq}\n
-// Sequences are computed in parallel (bounded-memory tiles) and written in
-// order; out_lens (may be null) receives minimized lengths. Returns 0 on
-// success.
+// Two-pass, fully parallel writer. Pass 1 computes every record's minimized
+// length with the copy-free sweep (O(F)/sample), which fixes each record's
+// exact byte offset in the file. Pass 2 builds header+sequence+newline in a
+// per-worker buffer and pwrite()s it at that offset — records land in file
+// order without any ordered (serial) write section. The previous design
+// swept tiles in parallel but funneled all bytes through one fwrite loop,
+// serializing ~40% of the per-genome work on this 2-core host.
+// out_lens (may be null) receives minimized lengths. Returns 0 on success.
+static bool pwrite_all(int fd, const uint8_t* buf, size_t len, int64_t off) {
+  while (len > 0) {
+    ssize_t w = ::pwrite(fd, buf, len, static_cast<off_t>(off));
+    if (w <= 0) return false;
+    buf += w;
+    off += w;
+    len -= static_cast<size_t>(w);
+  }
+  return true;
+}
+
 static int minimize_to_fasta_impl(BatchArgs base, const char* path,
                                   const char* header_prefix,
                                   int64_t start_index, int append,
                                   int n_threads, int64_t* out_lens) {
   if (!path || !header_prefix) return 1;
-  std::FILE* fp = std::fopen(path, append ? "ab" : "wb");
-  if (!fp) return 2;
+  int fd = ::open(path, O_WRONLY | O_CREAT | (append ? 0 : O_TRUNC), 0644);
+  if (fd < 0) return 2;
+  int64_t file_base = 0;
+  if (append) {
+    off_t end = ::lseek(fd, 0, SEEK_END);
+    if (end < 0) {
+      ::close(fd);
+      return 2;
+    }
+    file_base = static_cast<int64_t>(end);
+  }
+
+  int64_t n_samples = base.n_samples;
+  std::vector<int64_t> order(static_cast<size_t>(base.F));
+  std::iota(order.begin(), order.end(), 0);
+  const int64_t* starts = base.starts;
+  std::sort(order.begin(), order.end(),
+            [starts](int64_t x, int64_t y) { return starts[x] < starts[y]; });
+  base.order = order.data();
+
+  std::vector<int64_t> lens(static_cast<size_t>(n_samples));
+  std::vector<int64_t> offsets(static_cast<size_t>(n_samples));
+  const std::string prefix = ">" + std::string(header_prefix) + "_";
 
   int nt = resolve_threads(n_threads);
-  int64_t tile = nt * 4 > 64 ? 64 : nt * 4;  // samples buffered per write pass
-  if (tile < 1) tile = 1;
-  int64_t n_samples = base.n_samples;
-  int64_t L = base.L;
-  std::vector<uint8_t> out_buf;
-  std::vector<int64_t> lens;
-  int rc = 0;
-  for (int64_t lo = 0; lo < n_samples && rc == 0; lo += tile) {
-    int64_t hi = lo + tile < n_samples ? lo + tile : n_samples;
-    int64_t cnt = hi - lo;
-    out_buf.resize(static_cast<size_t>(cnt * L));
-    lens.resize(static_cast<size_t>(cnt));
-    BatchArgs a = base;
-    if (a.packed) {
-      a.packed += lo * a.packed_stride;
-    } else {
-      a.drop += lo * a.F;
-    }
-    a.n_samples = cnt;
-    a.out = out_buf.data();
-    a.out_lens = lens.data();
-    rc = run_batch(a, n_threads);
-    if (rc == 0 && out_lens)
-      std::memcpy(out_lens + lo, lens.data(),
-                  static_cast<size_t>(cnt) * sizeof(int64_t));
-    for (int64_t i = 0; i < cnt && rc == 0; ++i) {
-      std::string header = ">" + std::string(header_prefix) + "_" +
-                           std::to_string(start_index + lo + i + 1) + "\n";
-      if (std::fwrite(header.data(), 1, header.size(), fp) != header.size())
-        rc = 3;
-      if (rc == 0 &&
-          std::fwrite(out_buf.data() + i * L, 1,
-                      static_cast<size_t>(lens[i]),
-                      fp) != static_cast<size_t>(lens[i]))
-        rc = 3;
-      if (rc == 0 && std::fwrite("\n", 1, 1, fp) != 1) rc = 3;
-    }
+  if (nt > n_samples) nt = n_samples > 0 ? static_cast<int>(n_samples) : 1;
+  std::atomic<bool> failed{false};
+
+  // Pass 1: minimized lengths (copy-free sweep), parallel over samples.
+  {
+    std::atomic<int64_t> next{0};
+    auto len_worker = [&]() {
+      std::vector<uint8_t> scratch(base.packed ? static_cast<size_t>(base.F)
+                                               : 0);
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n_samples) return;
+        const uint8_t* drop;
+        if (base.packed) {
+          expand_packed_row(base, i, scratch.data());
+          drop = scratch.data();
+        } else {
+          drop = base.drop + i * base.F;
+        }
+        lens[static_cast<size_t>(i)] =
+            sweep_len(base.L, base.starts, base.ends, base.order, base.F,
+                      drop);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(len_worker);
+    for (auto& th : threads) th.join();
   }
-  if (std::fclose(fp) != 0 && rc == 0) rc = 4;
+  if (out_lens)
+    std::memcpy(out_lens, lens.data(),
+                static_cast<size_t>(n_samples) * sizeof(int64_t));
+
+  // Exact record offsets: '>{prefix}_{idx}\n' + seq + '\n'.
+  int64_t off = file_base;
+  for (int64_t i = 0; i < n_samples; ++i) {
+    offsets[static_cast<size_t>(i)] = off;
+    int64_t header_len =
+        static_cast<int64_t>(prefix.size() +
+                             std::to_string(start_index + i + 1).size()) + 1;
+    off += header_len + lens[static_cast<size_t>(i)] + 1;
+  }
+
+  // Pass 2: sweep each record into a per-worker buffer and pwrite it at its
+  // offset — disjoint file regions, so workers never contend.
+  {
+    std::atomic<int64_t> next{0};
+    auto write_worker = [&]() {
+      std::vector<uint8_t> scratch(base.packed ? static_cast<size_t>(base.F)
+                                               : 0);
+      std::vector<uint8_t> rec(static_cast<size_t>(base.L) + prefix.size() +
+                               32);
+      for (;;) {
+        int64_t i = next.fetch_add(1);
+        if (i >= n_samples || failed.load(std::memory_order_relaxed)) return;
+        const uint8_t* drop;
+        if (base.packed) {
+          expand_packed_row(base, i, scratch.data());
+          drop = scratch.data();
+        } else {
+          drop = base.drop + i * base.F;
+        }
+        std::string header = prefix + std::to_string(start_index + i + 1) +
+                             "\n";
+        std::memcpy(rec.data(), header.data(), header.size());
+        int64_t n = sweep(base.seq, base.L, base.starts, base.ends,
+                          base.order, base.F, drop,
+                          rec.data() + header.size());
+        if (n != lens[static_cast<size_t>(i)]) {  // defensive: passes agree
+          failed.store(true, std::memory_order_relaxed);
+          return;
+        }
+        rec[header.size() + static_cast<size_t>(n)] = '\n';
+        if (!pwrite_all(fd, rec.data(),
+                        header.size() + static_cast<size_t>(n) + 1,
+                        offsets[static_cast<size_t>(i)]))
+          failed.store(true, std::memory_order_relaxed);
+      }
+    };
+    std::vector<std::thread> threads;
+    for (int t = 0; t < nt; ++t) threads.emplace_back(write_worker);
+    for (auto& th : threads) th.join();
+  }
+
+  int rc = failed.load() ? 3 : 0;
+  if (::close(fd) != 0 && rc == 0) rc = 4;
   return rc;
 }
 

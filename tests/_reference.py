@@ -12,7 +12,10 @@ REFERENCE_ROOT = "/root/reference"
 
 def import_reference_module(dotted: str):
     if REFERENCE_ROOT not in sys.path:
-        sys.path.insert(0, REFERENCE_ROOT)
+        # APPEND, never prepend: the reference tree has its own top-level
+        # main.py which would otherwise shadow the repo's `main` module for
+        # tests that run later in the same process
+        sys.path.append(REFERENCE_ROOT)
     import importlib
 
     return importlib.import_module(dotted)

@@ -45,7 +45,10 @@ def _reference_modules(gb_path: Path, genes: list[str]):
     spec = synthetic.genbank_spec(genes, genome_length=5000, seed=1234)
     _bio_shim.install({str(gb_path): _bio_shim.record_from_spec(spec)})
     if str(REFERENCE) not in sys.path:
-        sys.path.insert(0, str(REFERENCE))
+        # APPEND, never prepend: the reference tree has its own top-level
+        # main.py, and a prepended entry would shadow the repo's `main` for
+        # any test that runs later in the same process
+        sys.path.append(str(REFERENCE))
     conv = importlib.import_module(
         "src.genome_minimizer_2.explore_data.binary_converter")
     mini = importlib.import_module(
