@@ -148,8 +148,12 @@ def plot_loss_vs_epochs_graph(epochs, train_loss_vals, val_loss_vals, fig_name):
 
 def plot_samples_distribution(binary_generated_samples, figure_name, plot_color,
                               x_min=0, x_max=0):
-    """Genome-size histogram (extras.py:127-163)."""
-    sizes = np.asarray(binary_generated_samples).sum(axis=1)
+    """Genome-size histogram (extras.py:127-163). Accepts the dense (N, D)
+    sample matrix or precomputed per-sample sizes (N,) — the bounded-memory
+    sample mode passes sizes popcounted from packed bitmasks."""
+    sizes = np.asarray(binary_generated_samples)
+    if sizes.ndim == 2:
+        sizes = sizes.sum(axis=1)
     median, handles = _minmax_summary(sizes)
     plt.figure(figsize=(5, 5))
     plt.hist(sizes, color=plot_color)

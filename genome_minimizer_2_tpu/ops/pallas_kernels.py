@@ -64,6 +64,13 @@ def _pack_bits_2d(bits):
     return jnp.sum(grouped * weights, axis=-1).astype(jnp.uint8)
 
 
+def pack_bits(bits):
+    """Public little-bit-order packer: (M, N) {0,1} -> (M, N//8) uint8, the
+    inverse of :func:`unpack_bits` (N must be a multiple of 8 — pad first).
+    Traceable (pure jnp), usable inside jit/shard_map and Pallas kernels."""
+    return _pack_bits_2d(bits)
+
+
 def _dtp_kernel(h_ref, w_ref, b_ref, o_ref):
     logits = jnp.dot(h_ref[:], w_ref[:], preferred_element_type=jnp.float32)
     logits = logits + b_ref[:].astype(jnp.float32)

@@ -42,9 +42,11 @@ logger = logging.getLogger(__name__)
 
 @dataclasses.dataclass
 class PipelineStats:
+    """Per-phase wall time. The converter is fused into the native minimize
+    workers (no separate convert phase), so its time is part of minimize_s."""
+
     genomes: int = 0
     sample_s: float = 0.0
-    convert_s: float = 0.0
     minimize_s: float = 0.0
     total_s: float = 0.0
 
@@ -214,6 +216,6 @@ def sample_and_minimize(
                     out.write(f.read())
         barrier.clear_sentinels(output_file, pc)
     logger.info("pipeline: %d genomes in %.2fs (%.1f/s) — sample %.2fs, "
-                "convert %.2fs, minimize %.2fs", stats.genomes, stats.total_s,
-                stats.rate(), stats.sample_s, stats.convert_s, stats.minimize_s)
+                "convert+minimize %.2fs", stats.genomes, stats.total_s,
+                stats.rate(), stats.sample_s, stats.minimize_s)
     return stats

@@ -118,6 +118,56 @@ def convert_file(pt_path: str, out_path: str, trainer_version: str = "v0",
     return dims
 
 
+def infer_version_from_filename(path) -> str | None:
+    """The reference's filename-based preset inference ('v0' in name etc. —
+    /root/reference/main.py:292-303)."""
+    from pathlib import Path
+
+    name = Path(path).name.lower()
+    for v in ("v0", "v1", "v2", "v3"):
+        if v in name:
+            return v
+    return None
+
+
+def ensure_npz(model_path: str, trainer_version: str | None = None) -> str:
+    """Accept either a framework ``.npz`` checkpoint or a reference torch
+    ``.pt``/``.pth`` state_dict (the reference sampling mode loads those
+    directly — /root/reference/main.py:285-319, extras.py:166-189).
+
+    Torch files are converted to a cached ``<file>.pt.npz`` sibling in a
+    SUBPROCESS — importing torch into a process where the registered TPU
+    backend has run compute deadlocks on this image, so the conversion must
+    not share the caller's process — and the npz path is returned. Re-runs
+    reuse the cache unless the .pt is newer. Non-torch paths pass through.
+    """
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    p = Path(model_path)
+    if p.suffix.lower() not in (".pt", ".pth"):
+        return model_path
+    out = p.with_name(p.name + ".npz")
+    if out.exists() and out.stat().st_mtime >= p.stat().st_mtime:
+        return str(out)
+    version = trainer_version or infer_version_from_filename(p)
+    if version is None:
+        raise ValueError(
+            f"Could not detect version (v0..v3) from filename: {p.name}; "
+            "pass trainer_version explicitly or rename the checkpoint")
+    repo_root = Path(__file__).resolve().parents[2]
+    proc = subprocess.run(
+        [sys.executable, "-m", "genome_minimizer_2_tpu.utils.torch_import",
+         str(p), str(out), "--trainer-version", version],
+        cwd=str(repo_root), capture_output=True, text=True, timeout=600)
+    if proc.returncode != 0 or not out.exists():
+        raise RuntimeError(
+            f"torch checkpoint conversion failed (rc={proc.returncode}):\n"
+            f"{proc.stderr.strip()}")
+    return str(out)
+
+
 def main():
     parser = argparse.ArgumentParser(
         description="Convert a reference saved_VAE_*.pt into a framework .npz")

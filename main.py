@@ -190,6 +190,8 @@ def run_sampling(args) -> bool:
     from genome_minimizer_2_tpu.data import split as S
     from genome_minimizer_2_tpu.eval import visualise as V
     from genome_minimizer_2_tpu.sample import sampler as SMP
+    from genome_minimizer_2_tpu.utils import torch_import as TI
+    from genome_minimizer_2_tpu.utils.profiling import Throughput
 
     print("Loading dataset...")
     matrix = D.load_matrix()
@@ -202,7 +204,12 @@ def run_sampling(args) -> bool:
 
     print(f"Detected input dimension: {matrix.n_genes}")
     print(f"Loading model from: {args.model_path}")
-    sampler, config = SMP.load_sampler(args.model_path, input_dim=matrix.n_genes,
+    # reference .pt state_dicts load directly (converted+cached in a torch
+    # subprocess — reference main.py:285-319)
+    model_path = TI.ensure_npz(args.model_path)
+    if model_path != args.model_path:
+        print(f"✓ Converted torch checkpoint -> {model_path}")
+    sampler, config = SMP.load_sampler(model_path, input_dim=matrix.n_genes,
                                        mesh=_sampling_mesh(args))
     model_name = config.trainer_version
 
@@ -220,20 +227,27 @@ def run_sampling(args) -> bool:
     print(f"- Output: {output_dir}")
     print(f"{'=' * 80}")
 
+    # Bounded memory at the 100k north-star scale: samples stay PACKED
+    # (N, ceil(D/8) ≈ 0.69 GB at 100k) end-to-end; sizes/essential counts/
+    # saves all derive from the bitmask without materializing the dense
+    # (N, 55k) matrix (~5.5 GB uint8, ~22 GB as the f32 .npy).
+    meter = Throughput()
     key = jax.random.key(args.seed)
-    if args.sampling_mode == "default":
-        print("Generating default samples...")
-        binary_samples, _, z = sampler.sample(key, args.num_samples)
-    else:
-        print("Generating focused samples...")
-        binary_samples, _, z = sampler.sample_focused(
-            key, args.num_samples, noise_level=args.noise_level)
+    with meter.phase("sample", args.num_samples):
+        if args.sampling_mode == "default":
+            print("Generating default samples...")
+            packed, z = sampler.sample_packed(key, args.num_samples)
+        else:
+            print("Generating focused samples...")
+            packed, z = sampler.sample_focused_packed(
+                key, args.num_samples, noise_level=args.noise_level)
 
-    genome_sizes = binary_samples.sum(axis=1)
-    essential_counts = SMP.count_essential_genes(binary_samples,
-                                                 essential_gene_positions)
+    with meter.phase("analyze", args.num_samples):
+        genome_sizes = SMP.popcount_rows(packed)
+        essential_counts = SMP.count_essential_genes_packed(
+            packed, essential_gene_positions, width=matrix.n_genes)
     print("\n✓ Sampling Results:")
-    print(f"- Generated samples: {binary_samples.shape[0]}")
+    print(f"- Generated samples: {packed.shape[0]}")
     print(f"- Median genome size: {np.median(genome_sizes):.0f} genes")
     print(f"- Genome size range: {np.min(genome_sizes):.0f} - {np.max(genome_sizes):.0f}")
     print(f"- Median essential genes: {np.median(essential_counts):.0f}")
@@ -241,7 +255,7 @@ def run_sampling(args) -> bool:
 
     print("\nGenerating analysis plots...")
     V.plot_samples_distribution(
-        binary_samples,
+        genome_sizes,
         str(output_dir / f"{model_name}_genome_size_distribution_{args.sampling_mode}.pdf"),
         "dodgerblue", 3000, 5000)
     V.plot_essential_genes_distribution(
@@ -259,15 +273,20 @@ def run_sampling(args) -> bool:
                             n_components=2)
 
     print("Saving results...")
-    # float32 (not float64): at 100k x 55k the reference's float64 .npy would
-    # be 44 GB; converters accept any numeric dtype
-    np.save(output_dir / f"{model_name}_binary_samples_{args.sampling_mode}.npy",
-            binary_samples.astype(np.float32))
-    SMP.write_samples_to_dataframe(
-        binary_samples, matrix.genes,
-        str(output_dir / f"{model_name}_data_full_samples_df.csv"))
+    # Streaming writers, byte-identical to the dense np.save/pandas path
+    # (tested in test_sampler.py). float32 (not float64): at 100k x 55k the
+    # reference's float64 .npy would be 44 GB; converters accept any dtype.
+    with meter.phase("save", args.num_samples):
+        SMP.save_binary_npy_stream(
+            packed, matrix.n_genes,
+            str(output_dir / f"{model_name}_binary_samples_{args.sampling_mode}.npy"),
+            dtype=np.float32)
+        SMP.write_samples_csv_stream(
+            packed, matrix.genes,
+            str(output_dir / f"{model_name}_data_full_samples_df.csv"))
     print("\n✓ SAMPLING COMPLETE!")
     print(f"- Results saved to: {output_dir}")
+    print(meter.report())
     return True
 
 
@@ -445,7 +464,12 @@ def run_pipeline(args) -> bool:
     col = "# gene" if "# gene" in ess.columns else "gene"
     essential_set = set(ess[col].astype(str).str.strip())
 
-    sampler, config = SMP.load_sampler(args.model_path, input_dim=len(cols),
+    from genome_minimizer_2_tpu.utils import torch_import as TI
+
+    model_path = TI.ensure_npz(args.model_path)  # reference .pt accepted
+    if model_path != args.model_path:
+        print(f"✓ Converted torch checkpoint -> {model_path}")
+    sampler, config = SMP.load_sampler(model_path, input_dim=len(cols),
                                        mesh=_sampling_mesh(args))
     engine = MinimizerEngine.from_genbank(args.genome_path)
     out = args.output_file or f"minimized_genomes_{args.model_name}.fasta"
@@ -456,8 +480,8 @@ def run_pipeline(args) -> bool:
         model_name=args.model_name, transfer=args.transfer)
     print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
     print(f"- Throughput: {stats.rate():.1f} genomes/s "
-          f"(sample {stats.sample_s:.1f}s, convert {stats.convert_s:.1f}s, "
-          f"minimize {stats.minimize_s:.1f}s)")
+          f"(sample {stats.sample_s:.1f}s, "
+          f"convert+minimize {stats.minimize_s:.1f}s)")
     return True
 
 

@@ -9,6 +9,7 @@
 //
 // Build: g++ -O3 -shared -fPIC -std=c++17 -pthread gm2min.cpp -o libgm2min.so
 
+#include <errno.h>
 #include <fcntl.h>
 #include <unistd.h>
 
@@ -191,6 +192,7 @@ int gm2_minimize_packed_batch(const uint8_t* seq, int64_t L,
 static bool pwrite_all(int fd, const uint8_t* buf, size_t len, int64_t off) {
   while (len > 0) {
     ssize_t w = ::pwrite(fd, buf, len, static_cast<off_t>(off));
+    if (w < 0 && errno == EINTR) continue;  // signal delivery is not failure
     if (w <= 0) return false;
     buf += w;
     off += w;
@@ -313,6 +315,18 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
   }
 
   int rc = failed.load() ? 3 : 0;
+  if (rc != 0) {
+    // A pass-2 failure may leave zero-filled holes at records after the
+    // failed one (disjoint pwrite regions land out of order). rc=3 reaches
+    // Python as an exception, but defense-in-depth: restore the file to its
+    // pre-call state (append) or remove it (fresh write) so a failed call
+    // can never leave a plausible-looking but corrupt FASTA behind.
+    if (append) {
+      (void)::ftruncate(fd, static_cast<off_t>(file_base));
+    } else {
+      (void)::unlink(path);
+    }
+  }
   if (::close(fd) != 0 && rc == 0) rc = 4;
   return rc;
 }
