@@ -153,6 +153,62 @@ def genbank_spec(
     return {"seq": seq, "features": [tuple(f) for f in features]}
 
 
+def adversarial_genbank_spec(
+    genes: list[str],
+    genome_length: int = 100_000,
+    n_features: int = 500,
+    seed: int = 0,
+) -> dict:
+    """Adversarial variant of :func:`genbank_spec` for the mid-scale
+    reference-oracle golden (round-2 VERDICT weak #4): heavy interval
+    overlap, complement()/join() locations, ORIGIN-WRAPPING joins on a
+    circular genome (BioPython's CompoundLocation then spans min..max — the
+    whole genome), duplicate gene names across features, names absent from
+    the dataset, and unnamed features. Same spec format as genbank_spec.
+    """
+    rng = np.random.RandomState(seed + 11)
+    seq = "".join(rng.choice(_BASES, size=genome_length))
+
+    features: list[list] = []
+    for i in range(n_features):
+        start1 = int(rng.randint(1, genome_length - 2000))  # 1-based
+        length = int(rng.randint(100, 2000))
+        end1 = min(start1 + length, genome_length)
+        r = rng.rand()
+        if r < 0.12:
+            loc = f"complement({start1}..{end1})"
+        elif r < 0.22:
+            mid = start1 + (end1 - start1) // 3
+            loc = f"join({start1}..{mid},{mid + 17}..{end1})"
+        else:
+            loc = f"{start1}..{end1}"
+        # name assignment: 5% unnamed, 10% dataset-absent ghosts, 8%
+        # duplicates of an earlier feature's name, else a dataset gene
+        r2 = rng.rand()
+        if r2 < 0.05:
+            name = None
+        elif r2 < 0.15:
+            name = f"ghost{i:03d}"  # not a dataset column
+        elif r2 < 0.23 and any(f[1] for f in features):
+            named = [f[1] for f in features if f[1]]
+            name = named[int(rng.randint(len(named)))]
+        else:
+            name = genes[int(rng.randint(len(genes)))]
+        features.append([loc, name, start1 - 1, end1, None])
+    # two origin-wrapping joins (circular genome): BioPython's overall span
+    # is then [0, genome_length) — dropping such a gene removes everything
+    for k in range(2):
+        s1 = genome_length - int(rng.randint(200, 800))
+        e1 = int(rng.randint(100, 600))
+        loc = f"join({s1}..{genome_length},1..{e1})"
+        name = genes[int(rng.randint(len(genes)))] if k == 0 else "wrapGhost"
+        features.append([loc, name, 0, genome_length, None])
+    for f in features:
+        if f[1] is not None:
+            f[4] = f"b{rng.randint(0, 9999):04d}"
+    return {"seq": seq, "features": [tuple(f) for f in features]}
+
+
 def write_genbank(
     path: str | os.PathLike,
     genes: list[str],
@@ -169,7 +225,19 @@ def write_genbank(
     as BioPython would parse from the ORIGIN block).
     """
     spec = genbank_spec(genes, genome_length, seed)
+    return write_genbank_from_spec(path, spec, organism)
+
+
+def write_genbank_from_spec(
+    path: str | os.PathLike,
+    spec: dict,
+    organism: str = "Escherichia coli str. K-12 substr. MG1655",
+) -> str:
+    """Emit the GenBank flat file for a prebuilt spec (genbank_spec /
+    adversarial_genbank_spec). Byte-layout identical to what write_genbank
+    always produced."""
     seq = spec["seq"]
+    genome_length = len(seq)
 
     lines = []
     lines.append(

@@ -171,6 +171,7 @@ class MinimizerEngine:
         start_index: int = 0,
         append: bool = False,
         use_native: bool | None = None,
+        n_threads: int = 0,
     ) -> np.ndarray:
         """FASTA directly from PACKED presence bitmasks (uint8, little bit
         order over the original dataset columns — the sampler's on-device
@@ -188,7 +189,7 @@ class MinimizerEngine:
             return native.minimize_packed_to_fasta(
                 self.seq_bytes, self.starts, self.ends, packed,
                 col_idx, ess, path, SEQ_ID_PREFIX,
-                start_index=start_index, append=append)
+                start_index=start_index, append=append, n_threads=n_threads)
         # fallback: identical semantics via the staged unpack -> drop path
         bits = np.unpackbits(packed, axis=1, bitorder="little")
         padded = np.concatenate(
@@ -237,6 +238,7 @@ class MinimizerEngine:
         start_index: int = 0,
         append: bool = False,
         use_native: bool | None = None,
+        n_threads: int = 0,
     ) -> np.ndarray:
         """FASTA from precomputed (n, F) drop masks (the vectorized pipeline
         path — see drop_masks_from_binary); returns minimized lengths."""
@@ -248,7 +250,8 @@ class MinimizerEngine:
         if use_native:
             return native.minimize_to_fasta(
                 self.seq_bytes, self.starts, self.ends, drop, path,
-                SEQ_ID_PREFIX, start_index=start_index, append=append)
+                SEQ_ID_PREFIX, start_index=start_index, append=append,
+                n_threads=n_threads)
         L = self.original_length
         lens = np.zeros(drop.shape[0], np.int64)
         with open(path, "ab" if append else "wb") as out:

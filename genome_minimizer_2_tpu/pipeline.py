@@ -70,6 +70,7 @@ def sample_and_minimize(
     write_header: bool = True,
     prefetch: int = 2,
     transfer: str = "auto",
+    native_threads: int = 0,
 ) -> PipelineStats:
     """Stream ``num_samples`` synthetic genomes into ``output_file``.
 
@@ -171,11 +172,13 @@ def sample_and_minimize(
         if feature_bits:
             keep = unpack_bits(arr, n_features)
             engine.minimize_drop_to_fasta(1 - keep, shard_path,
-                                          start_index=lo, append=True)
+                                          start_index=lo, append=True,
+                                          n_threads=native_threads)
         else:
             engine.minimize_packed_to_fasta(arr, col_idx, ess_flags,
                                             shard_path, start_index=lo,
-                                            append=True)
+                                            append=True,
+                                            n_threads=native_threads)
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 

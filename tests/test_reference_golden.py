@@ -43,6 +43,13 @@ ESSENTIALS = {"gene000", "gene013", "notInDataset"}
 
 def _reference_modules(gb_path: Path, genes: list[str]):
     spec = synthetic.genbank_spec(genes, genome_length=5000, seed=1234)
+    return _reference_modules_for_spec(gb_path, spec)
+
+
+def _reference_modules_for_spec(gb_path: Path, spec: dict):
+    """Shim BioPython with the ground-truth record for ``spec`` and import
+    the reference's converter + minimizer modules (shared with the mid-scale
+    adversarial oracle, test_reference_golden_scale.py)."""
     _bio_shim.install({str(gb_path): _bio_shim.record_from_spec(spec)})
     if str(REFERENCE) not in sys.path:
         # APPEND, never prepend: the reference tree has its own top-level
