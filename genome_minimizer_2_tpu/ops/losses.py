@@ -197,7 +197,7 @@ def compute_losses(
     epilogue on TPU — the logits never materialize in the forward pass. A
     hand-written Pallas BCE(+colsum) kernel with a closed-form VJP was
     measured 12% SLOWER inside the bs=2048 step (100.8 vs 112.7 TFLOPs,
-    tools/profile_step5.py) because its custom-call boundary forces the
+    tools/profile_train.py production) because its custom-call boundary forces the
     logits into HBM; it was removed in round 2.
     """
     comps: Dict[str, jnp.ndarray] = {}

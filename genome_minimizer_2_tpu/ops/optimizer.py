@@ -8,7 +8,7 @@ and writes m, v, p — ~3.3 GB/step for the 117M-param v0 model. This module
 performs the whole post-norm update as ONE elementwise pass per leaf, which
 XLA fuses into a single kernel at the streaming roofline.
 
-Measured on the v5e chip (tools/opt_microbench3.py, tools/profile_step2.py,
+Measured on the v5e chip (tools/opt_microbench3.py, tools/profile_train.py optimizer,
 round 2): the one-pass jnp formulation sustains ~536 GB/s — the same as a
 hand-written Mosaic kernel in isolation — while a Pallas kernel with
 input/output aliasing run INSIDE the training scan forced XLA to insert

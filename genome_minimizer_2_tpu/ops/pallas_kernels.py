@@ -9,11 +9,11 @@ CPU and as the test oracle — outputs are bit-identical).
   bottleneck on tunneled/multi-host setups (the matmul itself is ~free).
 - ``gather_row_blocks``: the epoch-shuffle permutation as manual HBM->HBM
   block DMAs — ~6x the throughput of XLA's gather lowering on this chip
-  (tools/profile_step3.py: 45-80 GB/s XLA vs ~530 GB/s here).
+  (tools/profile_train.py shuffle: 45-80 GB/s XLA vs ~530 GB/s here).
 
 Kernels that were built, measured on-chip, and REMOVED because XLA's fusion
 beat them inside the real training step (round 2; evidence in BASELINE.md
-and tools/profile_step*.py): a blocked matmul+bias+activation building
+and tools/profile_train.py): a blocked matmul+bias+activation building
 block, a fused BCE+colsum loss kernel with closed-form VJP (XLA fuses the
 jnp BCE reduction into the output matmul's epilogue and never materializes
 the logits — 112.7 vs 100.8 TFLOPs/chip at bs=2048), a fused Adam update
@@ -155,7 +155,7 @@ def unpack_bits(packed: np.ndarray, n: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 #
 # The trainer materializes each epoch's permutation once. XLA's gather
-# lowering runs at ~45-80 GB/s on this chip (tools/profile_step3.py H/G);
+# lowering runs at ~45-80 GB/s on this chip (tools/profile_train.py shuffle H/G);
 # this kernel issues concurrent block DMAs straight from the source array in
 # HBM to the output in HBM (no VMEM transit), sustaining near the streaming
 # roofline. The index vector rides scalar prefetch so each grid step's

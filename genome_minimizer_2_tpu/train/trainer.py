@@ -287,7 +287,7 @@ class VAETrainer:
                 state = state._replace(rng=rng)
                 # materialize the permuted epoch once; per-batch gathers in
                 # the scan body measured 3-5 ms/step at bs=2048 (XLA's TPU
-                # gather runs at ~45 GB/s — tools/profile_step3.py H)
+                # gather runs at ~45 GB/s — tools/profile_train.py shuffle H)
                 if self._use_block_shuffle(n):
                     from ..ops.pallas_kernels import GATHER_BLOCK, \
                         gather_row_blocks
