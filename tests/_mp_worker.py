@@ -123,4 +123,34 @@ if shared_dir:
     if pid == 0:
         text = open(merged).read()
         results["fasta_records"] = text.count(">Minimized_")
+
+    # streaming sample->convert->minimize pipeline ACROSS the real processes:
+    # each host decodes its sample span (fold_in(key, global_index) latents —
+    # shard boundaries can't change results), writes a FASTA shard, and host
+    # 0 merges behind the sentinel barrier. Byte-compare vs a single-process
+    # run of the same pipeline (timestamp header line excluded).
+    from genome_minimizer_2_tpu.models import vae as _vae
+    from genome_minimizer_2_tpu.pipeline import sample_and_minimize
+    from genome_minimizer_2_tpu.sample.sampler import Sampler
+
+    cols = _np.array([f"gene{i:03d}" for i in range(D)], dtype=object)
+    cfg_s = _vae.VAEConfig(input_dim=D, hidden_dim=16, latent_dim=4)
+    p_s, s_s = _vae.init(cfg_s, jax.random.key(5))  # same key -> replicated
+    smp = Sampler(cfg=cfg_s, params=p_s, batch_stats=s_s, chunk_size=4)
+    engine = GM.MinimizerEngine.from_genbank(gb)
+    pipe_out = os.path.join(shared_dir, "pipe.fasta")
+    if pid == 1:
+        time.sleep(1.0)  # straggler on the pipeline too
+    sample_and_minimize(smp, engine, cols, {"gene000"}, 10, pipe_out,
+                        key=jax.random.key(9), chunk_size=4,
+                        process_index=pid, process_count=nproc)
+    if pid == 0:
+        solo = os.path.join(shared_dir, "pipe_solo.fasta")
+        sample_and_minimize(smp, engine, cols, {"gene000"}, 10, solo,
+                            key=jax.random.key(9), chunk_size=4,
+                            process_index=0, process_count=1)
+        strip = lambda p: "".join(
+            l for l in open(p) if not l.startswith("# Generated on"))
+        results["pipe_records"] = strip(pipe_out).count(">Minimized_")
+        results["pipe_equal"] = strip(pipe_out) == strip(solo)
 print(json.dumps(results), flush=True)

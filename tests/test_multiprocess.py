@@ -108,4 +108,8 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     # straggler barrier: host 1 slept 2s before writing its shard; host 0's
     # merged FASTA must still contain every genome (sentinel barrier)
     assert outs[0]["fasta_records"] == 6
+    # streaming pipeline across the 2 real processes: merged output is
+    # byte-identical to a single-process pipeline run (timestamp excluded)
+    assert outs[0]["pipe_records"] == 10
+    assert outs[0]["pipe_equal"] is True
     assert not list(tmp_path.glob("*.done"))  # sentinels cleared after merge
