@@ -144,19 +144,37 @@ def bench_training(trainer, n_train: int) -> float:
     return n_epochs * n_train / dt
 
 
-def bench_sampling(trainer, num_samples: int = 2048) -> float:
+_SAMPLER_CACHE: dict = {}
+
+
+def _get_sampler(trainer, chunk_size: int):
+    key = chunk_size
+    if key not in _SAMPLER_CACHE:
+        from genome_minimizer_2_tpu.sample.sampler import Sampler
+
+        state = trainer.init_state()
+        _SAMPLER_CACHE[key] = Sampler(
+            cfg=trainer.model_cfg, params=state.params,
+            batch_stats=state.batch_stats, chunk_size=chunk_size)
+    return _SAMPLER_CACHE[key]
+
+
+def bench_sampling(trainer, num_samples: int = 4096) -> float:
+    """Production sampling path (--mode sample): fused decode+threshold+
+    bitpack on device, packed bitmasks to host. Warmup uses the SAME
+    num_samples — the z-draw is a distinct program per sample count, and on
+    this rig's remote-compile service an unwarmed shape costs ~10s inside
+    the first timed trial (the round-2 sampling variance)."""
     import jax
 
-    from genome_minimizer_2_tpu.sample.sampler import Sampler
-
-    state = trainer.init_state()
-    s = Sampler(cfg=trainer.model_cfg, params=state.params,
-                batch_stats=state.batch_stats, chunk_size=1024)
-    s.sample(jax.random.key(0), 1024)  # warmup/compile
+    s = _get_sampler(trainer, 1024)
+    if not getattr(s, "_bench_warm", False):
+        s.sample_packed(jax.random.key(0), num_samples)  # warmup/compile
+        s._bench_warm = True
     t0 = time.perf_counter()
-    binary, _, _ = s.sample(jax.random.key(1), num_samples)
+    packed, _ = s.sample_packed(jax.random.key(1), num_samples)
     dt = time.perf_counter() - t0
-    assert binary.shape == (num_samples, INPUT_DIM)
+    assert packed.shape == (num_samples, (INPUT_DIM + 7) // 8)
     return num_samples / dt
 
 
@@ -188,12 +206,16 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     return n_genomes / dt
 
 
-def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128,
+def bench_pipeline(trainer, n_genomes: int = 1024, chunk: int = 128,
                    transfer: str = "auto") -> float:
     """End-to-end genomes sampled+minimized/s (the BASELINE.json headline
     secondary metric): streaming pipeline with the flagship model dims and a
-    synthetic E. coli-scale genome. Multi-chunk so the software pipelining
-    (TPU decodes chunk k+1 while the host minimizes chunk k) is exercised."""
+    synthetic E. coli-scale genome. 1024 genomes (8 chunks) so the rate is
+    the steady overlapped state, not the drain tail — round-2's 384-genome
+    runs mostly measured minimize-after-decode-finished and swung 17x under
+    the driver. Thread schedule: the production auto default (overlap, one
+    core ceded to the TPU client's service threads —
+    tools/probe_pipeline_stability.py)."""
     import jax
     import numpy as np
 
@@ -202,30 +224,39 @@ def bench_pipeline(trainer, n_genomes: int = 384, chunk: int = 128,
     from genome_minimizer_2_tpu.pipeline import sample_and_minimize
     from genome_minimizer_2_tpu.sample.sampler import Sampler
 
-    rng = np.random.RandomState(0)
-    L = 4_600_000
-    n_genes = 4000
-    seq_bytes = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
-    starts = np.sort(rng.choice(L - 2000, size=n_genes, replace=False)).astype(np.int64)
-    ends = np.minimum(starts + rng.randint(300, 1500, size=n_genes), L)
-    # feature names drawn from the model's gene vocabulary so sampled masks
-    # actually control feature retention
-    cols = np.array([f"gene{i:05d}" for i in range(INPUT_DIM)], dtype=object)
-    names = cols[rng.choice(INPUT_DIM, size=n_genes, replace=False)]
-    engine = MinimizerEngine(record=GenBankRecord("bench", "", []),
-                             gene_names=names, starts=starts, ends=ends,
-                             seq_bytes=seq_bytes)
-    state = trainer.init_state()
-    s = Sampler(cfg=trainer.model_cfg, params=state.params,
-                batch_stats=state.batch_stats, chunk_size=chunk)
+    key = ("pipeline", chunk)
+    if key not in _SAMPLER_CACHE:
+        rng = np.random.RandomState(0)
+        L = 4_600_000
+        n_genes = 4000
+        seq_bytes = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
+        starts = np.sort(
+            rng.choice(L - 2000, size=n_genes, replace=False)).astype(np.int64)
+        ends = np.minimum(starts + rng.randint(300, 1500, size=n_genes), L)
+        # feature names drawn from the model's gene vocabulary so sampled
+        # masks actually control feature retention
+        cols = np.array([f"gene{i:05d}" for i in range(INPUT_DIM)],
+                        dtype=object)
+        names = cols[rng.choice(INPUT_DIM, size=n_genes, replace=False)]
+        engine = MinimizerEngine(record=GenBankRecord("bench", "", []),
+                                 gene_names=names, starts=starts, ends=ends,
+                                 seq_bytes=seq_bytes)
+        state = trainer.init_state()
+        s = Sampler(cfg=trainer.model_cfg, params=state.params,
+                    batch_stats=state.batch_stats, chunk_size=chunk)
+        _SAMPLER_CACHE[key] = (engine, s, cols, False)
+    engine, s, cols, warm = _SAMPLER_CACHE[key]
     essential_set = {f"gene{i:05d}" for i in range(40)}
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_pipeline.fasta")
-    # warmup at the SAME chunk shape (remote kernel compiles on this rig
-    # cost ~60s per program); the metric is the steady-state rate
-    sample_and_minimize(s, engine, cols, essential_set, chunk, out,
-                        key=jax.random.key(0), chunk_size=chunk,
-                        process_index=0, process_count=1, transfer=transfer)
+    if not warm:
+        # warmup at the SAME chunk shape (remote kernel compiles on this rig
+        # cost ~60s per program); the metric is the steady-state rate
+        sample_and_minimize(s, engine, cols, essential_set, chunk, out,
+                            key=jax.random.key(0), chunk_size=chunk,
+                            process_index=0, process_count=1,
+                            transfer=transfer)
+        _SAMPLER_CACHE[key] = (engine, s, cols, True)
     stats = sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
                                 key=jax.random.key(0), chunk_size=chunk,
                                 process_index=0, process_count=1,
@@ -293,9 +324,9 @@ def main():
                            lambda: bench_training(trainer_2048, 8192),
                            trials=3)
     sample_gps = phase("sampling", lambda: bench_sampling(trainer),
-                       optional=True, trials=3)
+                       optional=True, trials=5)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
-                         optional=True, trials=3)
+                         optional=True, trials=5)
     trainer_256 = _make_trainer(256)
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(trainer_256, N_TRAIN),

@@ -70,7 +70,8 @@ def sample_and_minimize(
     write_header: bool = True,
     prefetch: int = 2,
     transfer: str = "auto",
-    native_threads: int = 0,
+    native_threads: int | None = None,
+    overlap: bool = True,
 ) -> PipelineStats:
     """Stream ``num_samples`` synthetic genomes into ``output_file``.
 
@@ -90,6 +91,22 @@ def sample_and_minimize(
     resource). feature-bits is the right choice when the link is genuinely
     the wall (e.g. many host cores + DCN-attached accelerators); it stays a
     supported opt-in.
+
+    ``overlap`` selects the execution schedule. ``True`` (default):
+    software-pipelined — the TPU decodes chunks ahead (``prefetch``) while
+    one worker thread runs the native convert+minimize. ``False``: strictly
+    serial per chunk — decode+transfer, then minimize while the device is
+    idle (a measurement/debug mode).
+
+    ``native_threads``: worker threads for the native minimize per chunk
+    (0 = every core). ``None`` resolves to cores-1 under overlap (min 1):
+    the accelerator client's service threads need a core while device work
+    is in flight, and the interval sweep is memory-bandwidth-bound, so
+    ceding one core costs ~nothing. Measured on the 2-core rig
+    (tools/probe_pipeline_stability.py, round 3, 1024 genomes x4 trials):
+    overlap+cores-1 median 601/s vs 128-212/s for overlap+all-cores (the
+    round-2 default — the BENCH_r02 17x-spread collapse) and 326/s for
+    serial+all-cores (2 threads gain nothing over 1: memory-bound).
     """
     key = jax.random.key(0) if key is None else key
     pi = jax.process_index() if process_index is None else process_index
@@ -156,16 +173,12 @@ def sample_and_minimize(
                else sampler.decode_packed_device(z))
         return lo, hi, dev
 
-    it = iter(spans)
-    pending: deque = deque()
-    for _ in range(min(max(1, prefetch), len(spans))):
-        pending.append(submit(next(it)))
-
-    # Three-way overlap: the TPU decodes chunk k+P (async dispatch), the
-    # main thread drains chunk k+1's device->host transfer, and ONE worker
-    # thread runs chunk k's native convert+minimize (the C++ call releases
-    # the GIL; a single ordered worker keeps FASTA appends sequential).
-    from concurrent.futures import ThreadPoolExecutor
+    if native_threads is None:
+        try:
+            n_cores = len(os.sched_getaffinity(0))
+        except AttributeError:  # non-Linux
+            n_cores = os.cpu_count() or 1
+        native_threads = max(1, n_cores - 1) if overlap else 0
 
     def minimize_chunk(arr, lo, hi):
         t0 = time.perf_counter()
@@ -182,24 +195,45 @@ def sample_and_minimize(
         stats.minimize_s += time.perf_counter() - t0
         stats.genomes += hi - lo
 
-    with ThreadPoolExecutor(max_workers=1) as pool:
-        futures = deque()
-        while pending:
-            lo, hi, dev = pending.popleft()
-            nxt = next(it, None)
-            if nxt is not None:
-                pending.append(submit(nxt))
+    def drain(dev, lo, hi):
+        # -- sample: wait for the packed bitmask of this chunk ------------
+        t0 = time.perf_counter()
+        packed = np.asarray(dev)[: hi - lo]
+        stats.sample_s += time.perf_counter() - t0
+        return packed
 
-            # -- sample: wait for the packed bitmask of this chunk --------
-            t0 = time.perf_counter()
-            packed = np.asarray(dev)[: hi - lo]
-            stats.sample_s += time.perf_counter() - t0
+    if not overlap:
+        # Serial schedule: the accelerator client is quiescent while the
+        # native workers own every host core.
+        for span in spans:
+            lo, hi, dev = submit(span)
+            minimize_chunk(drain(dev, lo, hi), lo, hi)
+    else:
+        it = iter(spans)
+        pending: deque = deque()
+        for _ in range(min(max(1, prefetch), len(spans))):
+            pending.append(submit(next(it)))
 
-            futures.append(pool.submit(minimize_chunk, packed, lo, hi))
-            while len(futures) > 2:  # bound buffered chunks
-                futures.popleft().result()
-        for f in futures:
-            f.result()
+        # Three-way overlap: the TPU decodes chunk k+P (async dispatch), the
+        # main thread drains chunk k+1's device->host transfer, and ONE worker
+        # thread runs chunk k's native convert+minimize (the C++ call releases
+        # the GIL; a single ordered worker keeps FASTA appends sequential).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=1) as pool:
+            futures = deque()
+            while pending:
+                lo, hi, dev = pending.popleft()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(submit(nxt))
+
+                packed = drain(dev, lo, hi)
+                futures.append(pool.submit(minimize_chunk, packed, lo, hi))
+                while len(futures) > 2:  # bound buffered chunks
+                    futures.popleft().result()
+            for f in futures:
+                f.result()
 
     if sharded:
         barrier.mark_shard_done(shard_path)

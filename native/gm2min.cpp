@@ -11,6 +11,7 @@
 
 #include <errno.h>
 #include <fcntl.h>
+#include <sys/mman.h>
 #include <unistd.h>
 
 #include <algorithm>
@@ -273,15 +274,38 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
     off += header_len + lens[static_cast<size_t>(i)] + 1;
   }
 
-  // Pass 2: sweep each record into a per-worker buffer and pwrite it at its
-  // offset — disjoint file regions, so workers never contend.
+  // Pass 2: sweep each record DIRECTLY into an mmap of the output file at
+  // its exact offset. The sweep is memory-bandwidth-bound (~3 MB of kept
+  // sequence per E. coli-scale record), so the previous
+  // buffer-then-pwrite scheme moved every byte twice more (write to the
+  // record buffer, read by pwrite) — mapping the file removes both legs
+  // (~2x less traffic/record; on tmpfs the mapped pages ARE the file).
+  // Records are disjoint regions, so workers never contend. Falls back to
+  // per-worker buffers + pwrite when mmap isn't available for the target.
+  int64_t total_bytes = off;
+  uint8_t* map = nullptr;
+  int64_t map_base = 0;
+  size_t map_len = 0;
+  if (total_bytes > file_base &&
+      ::ftruncate(fd, static_cast<off_t>(total_bytes)) == 0) {
+    long pg = ::sysconf(_SC_PAGESIZE);
+    if (pg > 0) {
+      map_base = (file_base / pg) * pg;
+      map_len = static_cast<size_t>(total_bytes - map_base);
+      void* m = ::mmap(nullptr, map_len, PROT_WRITE, MAP_SHARED, fd,
+                       static_cast<off_t>(map_base));
+      if (m != MAP_FAILED) map = static_cast<uint8_t*>(m);
+    }
+  }
+
   {
     std::atomic<int64_t> next{0};
     auto write_worker = [&]() {
       std::vector<uint8_t> scratch(base.packed ? static_cast<size_t>(base.F)
                                                : 0);
-      std::vector<uint8_t> rec(static_cast<size_t>(base.L) + prefix.size() +
-                               32);
+      std::vector<uint8_t> rec;
+      if (!map)
+        rec.resize(static_cast<size_t>(base.L) + prefix.size() + 32);
       for (;;) {
         int64_t i = next.fetch_add(1);
         if (i >= n_samples || failed.load(std::memory_order_relaxed)) return;
@@ -294,17 +318,19 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
         }
         std::string header = prefix + std::to_string(start_index + i + 1) +
                              "\n";
-        std::memcpy(rec.data(), header.data(), header.size());
+        uint8_t* dst =
+            map ? map + (offsets[static_cast<size_t>(i)] - map_base)
+                : rec.data();
+        std::memcpy(dst, header.data(), header.size());
         int64_t n = sweep(base.seq, base.L, base.starts, base.ends,
-                          base.order, base.F, drop,
-                          rec.data() + header.size());
+                          base.order, base.F, drop, dst + header.size());
         if (n != lens[static_cast<size_t>(i)]) {  // defensive: passes agree
           failed.store(true, std::memory_order_relaxed);
           return;
         }
-        rec[header.size() + static_cast<size_t>(n)] = '\n';
-        if (!pwrite_all(fd, rec.data(),
-                        header.size() + static_cast<size_t>(n) + 1,
+        dst[header.size() + static_cast<size_t>(n)] = '\n';
+        if (!map &&
+            !pwrite_all(fd, dst, header.size() + static_cast<size_t>(n) + 1,
                         offsets[static_cast<size_t>(i)]))
           failed.store(true, std::memory_order_relaxed);
       }
@@ -313,6 +339,7 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
     for (int t = 0; t < nt; ++t) threads.emplace_back(write_worker);
     for (auto& th : threads) th.join();
   }
+  if (map) ::munmap(map, map_len);
 
   int rc = failed.load() ? 3 : 0;
   if (rc != 0) {

@@ -57,30 +57,36 @@ def main():
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else "."
     out = os.path.join(outdir, ".probe_pipeline.fasta")
 
-    def run(n_genomes, nt):
+    def run(n_genomes, nt, ov):
         t0 = time.perf_counter()
         st = sample_and_minimize(s, engine, cols, essential_set, n_genomes,
                                  out, key=jax.random.key(0), chunk_size=chunk,
                                  process_index=0, process_count=1,
-                                 native_threads=nt)
+                                 native_threads=nt, overlap=ov)
         wall = time.perf_counter() - t0
         return st.rate(), st.sample_s, st.minimize_s, wall
 
     # warmup: compile decode + touch every path
     print("[warmup]", flush=True)
     t0 = time.perf_counter()
-    run(chunk, 0)
+    run(chunk, 0, True)
     print(f"[warmup] {time.perf_counter() - t0:.1f}s", flush=True)
 
-    configs = [(384, 0), (384, 1), (1024, 0), (1024, 1)]
+    # (n_genomes, native_threads, overlap): serial vs pipelined schedules —
+    # round-3 hypothesis: on this 2-core host the overlap schedule taxes the
+    # native minimize (the ~85% phase) with the TPU client's service threads
+    # for the whole run, so serial (device idle during minimize, nt=all)
+    # should win ~2-3x at steady state and be far more stable.
+    configs = [(1024, 0, False), (1024, 1, True), (1024, 1, False),
+               (384, 0, False)]
     results = {c: [] for c in configs}
     for t in range(trials):
         for c in configs:
             rate, ss, ms, wall = run(*c)
             results[c].append(rate)
-            print(f"trial {t} n={c[0]:5d} nt={c[1]} rate={rate:7.1f}/s "
-                  f"sample_s={ss:5.2f} minimize_s={ms:5.2f} wall={wall:5.2f}",
-                  flush=True)
+            print(f"trial {t} n={c[0]:5d} nt={c[1]} ov={int(c[2])} "
+                  f"rate={rate:7.1f}/s sample_s={ss:5.2f} "
+                  f"minimize_s={ms:5.2f} wall={wall:5.2f}", flush=True)
 
     # sampling-phase stability (packed production path)
     samp = []
@@ -94,7 +100,8 @@ def main():
     print("\n== summary ==")
     for c, vals in results.items():
         v = sorted(vals)
-        print(f"n={c[0]:5d} nt={c[1]}: median={v[len(v) // 2]:7.1f} "
+        print(f"n={c[0]:5d} nt={c[1]} ov={int(c[2])}: "
+              f"median={v[len(v) // 2]:7.1f} "
               f"min={v[0]:7.1f} max={v[-1]:7.1f} ratio={v[-1] / v[0]:.2f}")
     v = sorted(samp)
     print(f"sample_packed:  median={v[len(v) // 2]:7.1f} min={v[0]:7.1f} "
