@@ -171,6 +171,15 @@ def sample_and_minimize(
         z = draw_latents(key, idx, latent_dim)
         dev = (decode_features(z) if feature_bits
                else sampler.decode_packed_device(z))
+        # start the device->host copy NOW (it proceeds as soon as the decode
+        # finishes) so the transfer of chunk k+1 overlaps chunk k's native
+        # minimize instead of serializing with it at drain time — on the
+        # high-latency tunneled link this is the difference between paying
+        # the round trip once per chunk and hiding it entirely
+        try:
+            dev.copy_to_host_async()
+        except Exception:  # backend without async D2H: drain() still works
+            pass
         return lo, hi, dev
 
     if native_threads is None:

@@ -37,7 +37,6 @@ def main():
     from genome_minimizer_2_tpu.sample.sampler import Sampler
 
     INPUT_DIM = bench.INPUT_DIM
-    chunk = 128
     rng = np.random.RandomState(0)
     L, n_genes = 4_600_000, 4000
     seq_bytes = rng.choice(np.frombuffer(b"ACGT", dtype=np.uint8), size=L)
@@ -52,12 +51,12 @@ def main():
     trainer = bench._make_trainer(32)
     state = trainer.init_state()
     s = Sampler(cfg=trainer.model_cfg, params=state.params,
-                batch_stats=state.batch_stats, chunk_size=chunk)
+                batch_stats=state.batch_stats, chunk_size=128)
     essential_set = {f"gene{i:05d}" for i in range(40)}
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else "."
     out = os.path.join(outdir, ".probe_pipeline.fasta")
 
-    def run(n_genomes, nt, ov):
+    def run(n_genomes, chunk, nt, ov):
         t0 = time.perf_counter()
         st = sample_and_minimize(s, engine, cols, essential_set, n_genomes,
                                  out, key=jax.random.key(0), chunk_size=chunk,
@@ -66,25 +65,27 @@ def main():
         wall = time.perf_counter() - t0
         return st.rate(), st.sample_s, st.minimize_s, wall
 
-    # warmup: compile decode + touch every path
-    print("[warmup]", flush=True)
-    t0 = time.perf_counter()
-    run(chunk, 0, True)
-    print(f"[warmup] {time.perf_counter() - t0:.1f}s", flush=True)
+    # (n_genomes, chunk_size, native_threads, overlap) — round-3 bench still
+    # collapsed at chunk=128 (median 129/s, 26x spread) while the sampling
+    # phase at chunk 1024 held 4.1-4.8k/s: hypothesis is per-chunk tunnel
+    # round-trip latency (8 drains/run), addressed by (a) bigger chunks and
+    # (b) copy_to_host_async at submit time (pipeline.py).
+    configs = [(1024, 128, 1, True), (1024, 512, 1, True),
+               (2048, 512, 1, True), (1024, 1024, 1, True)]
 
-    # (n_genomes, native_threads, overlap): serial vs pipelined schedules —
-    # round-3 hypothesis: on this 2-core host the overlap schedule taxes the
-    # native minimize (the ~85% phase) with the TPU client's service threads
-    # for the whole run, so serial (device idle during minimize, nt=all)
-    # should win ~2-3x at steady state and be far more stable.
-    configs = [(1024, 0, False), (1024, 1, True), (1024, 1, False),
-               (384, 0, False)]
+    # warmup: compile decode at every chunk shape + touch every path
+    for chunk in sorted({c[1] for c in configs}):
+        t0 = time.perf_counter()
+        run(chunk, chunk, 0, True)
+        print(f"[warmup chunk={chunk}] {time.perf_counter() - t0:.1f}s",
+              flush=True)
+
     results = {c: [] for c in configs}
     for t in range(trials):
         for c in configs:
             rate, ss, ms, wall = run(*c)
             results[c].append(rate)
-            print(f"trial {t} n={c[0]:5d} nt={c[1]} ov={int(c[2])} "
+            print(f"trial {t} n={c[0]:5d} ch={c[1]:4d} nt={c[2]} ov={int(c[3])} "
                   f"rate={rate:7.1f}/s sample_s={ss:5.2f} "
                   f"minimize_s={ms:5.2f} wall={wall:5.2f}", flush=True)
 
@@ -100,7 +101,7 @@ def main():
     print("\n== summary ==")
     for c, vals in results.items():
         v = sorted(vals)
-        print(f"n={c[0]:5d} nt={c[1]} ov={int(c[2])}: "
+        print(f"n={c[0]:5d} ch={c[1]:4d} nt={c[2]} ov={int(c[3])}: "
               f"median={v[len(v) // 2]:7.1f} "
               f"min={v[0]:7.1f} max={v[-1]:7.1f} ratio={v[-1] / v[0]:.2f}")
     v = sorted(samp)
