@@ -49,9 +49,32 @@ class PipelineStats:
     sample_s: float = 0.0
     minimize_s: float = 0.0
     total_s: float = 0.0
+    # (perf_counter, genomes) at each chunk's minimize completion, in
+    # completion order — the steady-state observability hook.
+    chunk_done: list = dataclasses.field(default_factory=list)
 
     def rate(self) -> float:
         return self.genomes / max(self.total_s, 1e-9)
+
+    def steady_rate(self) -> float:
+        """Median per-chunk throughput (genomes / inter-completion gap).
+
+        The whole-run ``rate()`` folds in startup and any transient host
+        stall that happens to overlap a short run; the median completion
+        gap is the sustained streaming rate a long production run (which
+        amortizes such windows over minutes) actually achieves. Falls back
+        to ``rate()`` when there are too few chunks to form a median."""
+        if len(self.chunk_done) < 4:
+            return self.rate()
+        gaps = [
+            (t1 - t0, g1)
+            for (t0, _), (t1, g1) in zip(self.chunk_done, self.chunk_done[1:])
+            if t1 > t0
+        ]
+        if not gaps:
+            return self.rate()
+        rates = sorted(g / dt for dt, g in gaps)
+        return rates[len(rates) // 2]
 
 
 def sample_and_minimize(
@@ -201,8 +224,10 @@ def sample_and_minimize(
                                             shard_path, start_index=lo,
                                             append=True,
                                             n_threads=native_threads)
-        stats.minimize_s += time.perf_counter() - t0
+        t1 = time.perf_counter()
+        stats.minimize_s += t1 - t0
         stats.genomes += hi - lo
+        stats.chunk_done.append((t1, hi - lo))
 
     def drain(dev, lo, hi):
         # -- sample: wait for the packed bitmask of this chunk ------------

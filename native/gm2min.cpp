@@ -207,7 +207,12 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
                                   int64_t start_index, int append,
                                   int n_threads, int64_t* out_lens) {
   if (!path || !header_prefix) return 1;
-  int fd = ::open(path, O_WRONLY | O_CREAT | (append ? 0 : O_TRUNC), 0644);
+  // O_RDWR, not O_WRONLY: a MAP_SHARED PROT_WRITE mmap requires a
+  // read-write fd (EACCES otherwise) — with O_WRONLY the mmap fast path
+  // below silently never engages and every byte goes through the pwrite
+  // fallback's shmem write syscall path (double copy + per-page kernel
+  // work; observed as 50%-sys-time collapses under the pipeline bench).
+  int fd = ::open(path, O_RDWR | O_CREAT | (append ? 0 : O_TRUNC), 0644);
   if (fd < 0) return 2;
   int64_t file_base = 0;
   if (append) {
@@ -294,7 +299,17 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
       map_len = static_cast<size_t>(total_bytes - map_base);
       void* m = ::mmap(nullptr, map_len, PROT_WRITE, MAP_SHARED, fd,
                        static_cast<off_t>(map_base));
-      if (m != MAP_FAILED) map = static_cast<uint8_t*>(m);
+      if (m != MAP_FAILED) {
+        map = static_cast<uint8_t*>(m);
+#ifndef MADV_POPULATE_WRITE
+#define MADV_POPULATE_WRITE 23  // kernel >= 5.14
+#endif
+        // Batch-allocate the backing pages up front (one kernel pass)
+        // instead of a page fault per 4 KiB store inside the sweep
+        // workers; ignored (EINVAL) on kernels without it — the per-fault
+        // path is correct, just slower.
+        (void)::madvise(m, map_len, MADV_POPULATE_WRITE);
+      }
     }
   }
 
