@@ -321,16 +321,24 @@ def main():
     # Soft deadline: the remote-compile service on this rig has minutes-scale
     # latency variance per compiled program; always emit the JSON line with
     # whatever phases fit the budget (headline metric first).
-    budget = float(os.environ.get("GM2_BENCH_BUDGET_S", "460"))
+    budget = float(os.environ.get("GM2_BENCH_BUDGET_S", "600"))
 
     variance = {}
 
     only = os.environ.get("GM2_BENCH_PHASES")  # dev knob: "pipeline,sampling"
     only_set = set(only.split(",")) if only else None
 
-    def phase(name, fn, optional=False, trials=1):
+    def phase(name, fn, optional=False, trials=1, guarantee=False):
         if only_set is not None and name not in only_set:
             return None
+        if (guarantee and optional
+                and time.perf_counter() - t_start > budget):
+            # One remote-compile stall (minutes-scale, this rig) in an early
+            # phase must not erase the record for the headline generation
+            # metrics — run a single trial over budget instead of skipping.
+            print(f"[bench] {name}: budget exceeded - single guaranteed trial",
+                  file=sys.stderr)
+            optional, trials = False, 1
         """Run ``fn`` up to ``trials`` times (deadline-aware between trials);
         record median + spread in extra.variance, return the MEDIAN — the
         record number is the reproducible one, not best-of (round-1 VERDICT
@@ -366,7 +374,7 @@ def main():
     # gone only already-run phases report. minimize first (pure CPU — the
     # TPU client's service threads contend for the 2 cores once device work
     # starts), then the two headline training metrics, then the rest.
-    minimize_gps = phase("minimize", bench_minimizer, trials=3)
+    minimize_gps = phase("minimize", bench_minimizer, trials=5)
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
                       trials=3)
@@ -376,9 +384,9 @@ def main():
                            lambda: bench_training(trainer_2048, 8192),
                            trials=3)
     sample_gps = phase("sampling", lambda: bench_sampling(trainer),
-                       optional=True, trials=5)
+                       optional=True, trials=5, guarantee=True)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
-                         optional=True, trials=3)
+                         optional=True, trials=3, guarantee=True)
     trainer_256 = _make_trainer(256)
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(trainer_256, N_TRAIN),

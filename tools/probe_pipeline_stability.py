@@ -65,13 +65,14 @@ def main():
         wall = time.perf_counter() - t0
         return st.rate(), st.sample_s, st.minimize_s, wall
 
-    # (n_genomes, chunk_size, native_threads, overlap) — round-3 bench still
-    # collapsed at chunk=128 (median 129/s, 26x spread) while the sampling
-    # phase at chunk 1024 held 4.1-4.8k/s: hypothesis is per-chunk tunnel
-    # round-trip latency (8 drains/run), addressed by (a) bigger chunks and
-    # (b) copy_to_host_async at submit time (pipeline.py).
-    configs = [(1024, 128, 1, True), (1024, 512, 1, True),
-               (2048, 512, 1, True), (1024, 1024, 1, True)]
+    # (n_genomes, chunk_size, native_threads, overlap). Round-3 final A/B:
+    # with the writer's mmap path actually engaged (the O_WRONLY bug made
+    # every pre-fix nt comparison measure the pwrite kernel path), does a
+    # second native worker pay off under overlap? The drain thread is now
+    # ~idle (async copies), so the old "cede a core to the client" rule may
+    # be stale.
+    configs = [(2048, 128, 1, True), (2048, 128, 2, True),
+               (2048, 128, 0, True), (2048, 512, 2, True)]
 
     # warmup: compile decode at every chunk shape + touch every path
     for chunk in sorted({c[1] for c in configs}):
