@@ -156,6 +156,8 @@ def load_matrix(
 
     _, merged_df, _ = load_and_validate_data(dataset_path, phylogroups_path)
     matrix = to_matrix(merged_df)
+    if cache:
+        _write_vocab_cache(dataset_path, matrix.genes)
     small = matrix.data.astype(np.uint8)
     if cache and np.array_equal(matrix.data, small):
         try:
@@ -171,3 +173,69 @@ def load_matrix(
         except Exception as e:
             logger.warning("cache write failed: %s", e)
     return matrix
+
+
+def _vocab_cache_path(dataset_path) -> Path:
+    return Path(str(dataset_path) + ".vocab.npz")
+
+
+def _write_vocab_cache(dataset_path, genes: np.ndarray) -> None:
+    # atomic (tmp + rename): on a pod every host's CLI may write concurrently
+    path = _vocab_cache_path(dataset_path)
+    tmp = path.with_suffix(f".tmp{os.getpid()}.npz")
+    try:
+        np.savez_compressed(
+            tmp,
+            genes=genes.astype(str),
+            src_mtime=np.array([os.path.getmtime(dataset_path)]),
+        )
+        os.replace(tmp, path)
+    except Exception as e:
+        logger.warning("vocab cache write failed: %s", e)
+        if tmp.exists():
+            try:
+                tmp.unlink()
+            except OSError:
+                pass
+
+
+def load_gene_vocab(dataset_path: str | None = None,
+                    cache: bool = True) -> np.ndarray:
+    """Gene-name column vocabulary without parsing the presence matrix.
+
+    convert-samples and the streaming pipeline only need the gene axis (the
+    CSV's index minus the 'Lineage' row — the columns of the transposed
+    frame), yet the reference re-parses the entire ~2 GB CSV for it on every
+    invocation (/root/reference/main.py:627-631), minutes of pandas at real
+    scale. Resolution order (all mtime-keyed on the dataset file):
+
+    1. the ``load_matrix`` .cache.npz (already holds the vocab),
+    2. a dedicated .vocab.npz cache,
+    3. an index-only CSV read (``usecols=[0]`` skips parsing the ~10k sample
+       columns), which then writes the .vocab.npz for next time.
+
+    Returns the gene names as an object array, in CSV row order — identical
+    to ``data_without_lineage.transpose().columns``.
+    """
+    dataset_path = dataset_path or directories.ten_k_dataset()
+    mtime = os.path.getmtime(dataset_path)
+    if cache:
+        for path, mt_key, idx in ((Path(str(dataset_path) + ".cache.npz"),
+                                   "src_mtimes", 0),
+                                  (_vocab_cache_path(dataset_path),
+                                   "src_mtime", 0)):
+            if not path.exists():
+                continue
+            try:
+                with np.load(path, allow_pickle=True) as z:
+                    if np.isclose(float(z[mt_key][idx]), mtime):
+                        logger.info("Gene vocab from cache: %s", path)
+                        return z["genes"].astype(object)
+            except Exception as e:
+                logger.warning("vocab cache read failed (%s); ignoring", e)
+    index = pd.read_csv(dataset_path, usecols=[0], index_col=0, header=0).index
+    genes = np.asarray([g for g in index.astype(str) if g != "Lineage"],
+                       dtype=object)
+    if cache:
+        _write_vocab_cache(dataset_path, genes)
+    return genes

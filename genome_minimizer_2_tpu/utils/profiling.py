@@ -47,6 +47,11 @@ class Throughput:
             self.counts[name] = self.counts.get(name, 0.0) + items
             self.seconds[name] = self.seconds.get(name, 0.0) + dt
 
+    def add(self, name: str, items: float, seconds: float) -> None:
+        """Record a phase measured externally (item count known only after)."""
+        self.counts[name] = self.counts.get(name, 0.0) + items
+        self.seconds[name] = self.seconds.get(name, 0.0) + seconds
+
     def rate(self, name: str) -> float:
         return self.counts.get(name, 0.0) / max(self.seconds.get(name, 0.0), 1e-12)
 

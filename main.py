@@ -360,6 +360,7 @@ def run_genome_minimizer(args):
         process_multiple_genomes_multiple_files,
         process_multiple_genomes_single_file,
     )
+    from genome_minimizer_2_tpu.utils.profiling import Throughput
 
     print(f"\n{'=' * 80}")
     print(f"Processing genome: {Path(args.genome_path).name}")
@@ -379,6 +380,10 @@ def run_genome_minimizer(args):
     output_dir.mkdir(parents=True, exist_ok=True)
     print(f"✓ Created output directory: {output_dir}")
 
+    meter = Throughput()
+    import time as _time
+
+    t0 = _time.perf_counter()
     if args.single_file or args.output_file:
         output_file = output_dir / output_filename
         print(f"Generating single FASTA file: {output_file}")
@@ -393,16 +398,17 @@ def run_genome_minimizer(args):
             genome_path=args.genome_path, genes_path=args.genes_path,
             model_name=args.model_name, output_dir=str(output_dir))
         print("\n✓ GENOME MINIMIZATION COMPLETED!")
+    meter.add("minimize", result["genome_count"], _time.perf_counter() - t0)
     print(f"- Processed: {result['genome_count']} genomes")
     print(f"- Average percentage reduction: {result['average_reduction_pct']:.1f}%")
     print(f"- Average genome length: {result['average_length_bp']:,.1f} bp")
+    print(f"- Throughput: {meter.report()}")
     return result
 
 
 def run_binary_converter(args) -> bool:
     """convert-samples mode (reference: main.py:617-645)."""
-    import pandas as pd
-
+    from genome_minimizer_2_tpu.data.dataset import load_gene_vocab
     from genome_minimizer_2_tpu.genome.converter import (
         check_essential_genes,
         load_essential_set,
@@ -417,11 +423,10 @@ def run_binary_converter(args) -> bool:
         return False
 
     out_path = args.output_file or "seq_out.npy"
-    large_data = pd.read_csv(directories.ten_k_dataset(), index_col=0)
-    data_without_lineage = large_data.drop(index=["Lineage"], errors="ignore")
-    data_transpose = data_without_lineage.transpose()
-    print(f"Dataset shape (samples x genes): {data_transpose.shape}")
-    cols = data_transpose.columns
+    # gene vocabulary only — never the ~2 GB presence matrix the reference
+    # re-parses here (/root/reference/main.py:627-631); cache-backed
+    cols = load_gene_vocab()
+    print(f"Gene vocabulary: {len(cols)} genes")
 
     # keep the in-memory lists instead of re-loading the .npy just written
     # (a full duplicate copy at 100k-genome scale)
@@ -452,13 +457,12 @@ def run_pipeline(args) -> bool:
     import jax
     import pandas as pd
 
+    from genome_minimizer_2_tpu.data.dataset import load_gene_vocab
     from genome_minimizer_2_tpu.genome.minimizer import MinimizerEngine
     from genome_minimizer_2_tpu.pipeline import sample_and_minimize
     from genome_minimizer_2_tpu.sample import sampler as SMP
 
-    large_data = pd.read_csv(directories.ten_k_dataset(), index_col=0)
-    data_without_lineage = large_data.drop(index=["Lineage"], errors="ignore")
-    cols = data_without_lineage.transpose().columns.to_numpy()
+    cols = load_gene_vocab()  # cache-backed; no presence-matrix parse
 
     ess = pd.read_csv(directories.paper_essential_genes())
     col = "# gene" if "# gene" in ess.columns else "gene"
@@ -479,9 +483,11 @@ def run_pipeline(args) -> bool:
         key=jax.random.key(args.seed), chunk_size=args.chunk_size,
         model_name=args.model_name, transfer=args.transfer)
     print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
-    print(f"- Throughput: {stats.rate():.1f} genomes/s "
+    print(f"- Throughput: {stats.rate():.1f} genomes/s whole-run, "
+          f"{stats.steady_rate():.1f} genomes/s steady-state "
           f"(sample {stats.sample_s:.1f}s, "
-          f"convert+minimize {stats.minimize_s:.1f}s)")
+          f"convert+minimize {stats.minimize_s:.1f}s, "
+          f"total {stats.total_s:.1f}s)")
     return True
 
 
@@ -489,7 +495,25 @@ def main(argv=None) -> int:
     args = parse_arguments(argv)
     print_banner()
     import jax
-    print(f"\nRunning in {args.mode} mode on {jax.default_backend()}")
+
+    # Optional platform pin (e.g. GM2_PLATFORM=cpu): must happen before any
+    # backend instantiation. The env var JAX_PLATFORMS alone does not win on
+    # rigs whose sitecustomize force-registers a platform list.
+    plat = os.environ.get("GM2_PLATFORM")
+    if plat and not jax.distributed.is_initialized():
+        jax.config.update("jax_platforms", plat)
+    # Multi-host bring-up: on a pod every host runs this same CLI and the
+    # cluster forms HERE, before anything touches a backend (initialize after
+    # backend instantiation is a hard error). Single host: no-op.
+    from genome_minimizer_2_tpu.parallel.distributed import maybe_initialize
+
+    distributed = maybe_initialize()
+    mode_line = f"\nRunning in {args.mode} mode on {jax.default_backend()}"
+    if distributed:
+        mode_line += (f" (process {jax.process_index() + 1}/"
+                      f"{jax.process_count()}, "
+                      f"{len(jax.devices())} global devices)")
+    print(mode_line)
 
     if args.mode in ["training", "experiment", "explore", "preprocess", "sample",
                      "pipeline"]:

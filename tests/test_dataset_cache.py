@@ -29,3 +29,47 @@ def test_cache_roundtrip_and_invalidation(synth_root):
     np.testing.assert_array_equal(m1.data, m3.data)
 
     os.remove(cache)
+
+
+def test_gene_vocab_zero_csv_parse_when_cached(synth_root, monkeypatch):
+    """convert-samples/pipeline vocab loads (round-3 VERDICT next #5): with
+    an mtime-stable cache, load_gene_vocab must not touch the CSV at all."""
+    pa, ph = synth_root["presence_absence"], synth_root["phylogroups"]
+    for p in (pa + ".cache.npz", pa + ".vocab.npz"):
+        if os.path.exists(p):
+            os.remove(p)
+
+    expect = D.load_matrix(pa, ph, cache=False).genes
+
+    # cold: index-only read, writes the .vocab.npz
+    v1 = D.load_gene_vocab(pa)
+    np.testing.assert_array_equal(v1, expect)
+    assert os.path.exists(pa + ".vocab.npz")
+
+    # warm: any CSV parse is a failure
+    import pandas as pd
+
+    def boom(*a, **k):
+        raise AssertionError("CSV parsed despite warm vocab cache")
+
+    monkeypatch.setattr(pd, "read_csv", boom)
+    v2 = D.load_gene_vocab(pa)
+    np.testing.assert_array_equal(v2, expect)
+
+    # the load_matrix cache alone also satisfies it (vocab cache removed)
+    monkeypatch.undo()
+    D.load_matrix(pa, ph, cache=True)
+    os.remove(pa + ".vocab.npz")  # leave only the .cache.npz
+    monkeypatch.setattr(pd, "read_csv", boom)
+    v3 = D.load_gene_vocab(pa)
+    np.testing.assert_array_equal(v3, expect)
+    monkeypatch.undo()
+
+    # source touch invalidates: falls back to the index-only read
+    t = time.time() + 20
+    os.utime(pa, (t, t))
+    v4 = D.load_gene_vocab(pa)
+    np.testing.assert_array_equal(v4, expect)
+    for p in (pa + ".cache.npz", pa + ".vocab.npz"):
+        if os.path.exists(p):
+            os.remove(p)

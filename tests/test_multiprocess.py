@@ -113,3 +113,78 @@ def test_two_process_dp_training_matches_single_process(tmp_path):
     assert outs[0]["pipe_records"] == 10
     assert outs[0]["pipe_equal"] is True
     assert not list(tmp_path.glob("*.done"))  # sentinels cleared after merge
+
+
+CLI_WORKER = os.path.join(REPO, "tests", "_mp_cli_worker.py")
+
+
+@pytest.mark.skipif(not _gloo_available(),
+                    reason="jaxlib without gloo TCP collectives")
+def test_cli_pipeline_across_two_processes(synth_root, tmp_path, monkeypatch):
+    """`python main.py --mode pipeline` on every host of a 2-process cluster:
+    the cluster forms inside main() (maybe_initialize — round-3 VERDICT next
+    #3), each host minimizes its sample shard, and host 0's merged FASTA is
+    byte-identical (modulo timestamp) to a single-process CLI run."""
+    import jax
+
+    n = 10
+    # tiny checkpoint at the synthetic tree's gene width
+    from genome_minimizer_2_tpu.models import vae
+    from genome_minimizer_2_tpu.utils import checkpoint as CKPT
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    D = 120
+    cfg = ExperimentConfig(hidden_dim=8, latent_dim=2, trainer_version="v0")
+    vcfg = vae.VAEConfig(input_dim=D, hidden_dim=8, latent_dim=2)
+    params, stats = vae.init(vcfg, jax.random.key(1))
+    ck = str(tmp_path / "saved_VAE_v0.npz")
+    CKPT.save_checkpoint(ck, params, stats, cfg, extra={"input_dim": D})
+
+    # pre-warm the vocab cache so concurrent workers only read it
+    from genome_minimizer_2_tpu.data.dataset import load_gene_vocab
+
+    load_gene_vocab(synth_root["presence_absence"])
+
+    out = str(tmp_path / "mpcli.fasta")
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items()
+           if k not in ("XLA_FLAGS", "JAX_PLATFORMS")}
+    procs = [
+        subprocess.Popen(
+            [sys.executable, CLI_WORKER, str(i), "2", str(port),
+             synth_root["root"], ck, out, str(n)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for i in range(2)
+    ]
+    for i, p in enumerate(procs):
+        try:
+            stdout, stderr = p.communicate(timeout=420)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail(f"CLI worker {i} timed out")
+        assert p.returncode == 0, \
+            f"CLI worker {i} failed:\n{stdout[-2000:]}\n{stderr[-2000:]}"
+        assert f"MPCLI_OK pid={i} processes=2" in stdout
+        # the CLI printed its distributed identity (main() banner line)
+        assert f"(process {i + 1}/2" in stdout
+
+    strip = lambda p: "".join(
+        l for l in open(p) if not l.startswith("# Generated on"))
+    merged = strip(out)
+    assert merged.count(">Minimized_") == n
+    assert not list(tmp_path.glob("*.done"))  # sentinels cleared
+
+    # single-process CLI run, same checkpoint/seed -> identical body
+    monkeypatch.setenv("GM2_ROOT", synth_root["root"])
+    import main as cli
+
+    solo = str(tmp_path / "solo.fasta")
+    rc = cli.main(["--mode", "pipeline", "--model-path", ck,
+                   "--num-samples", str(n), "--output-file", solo,
+                   "--model-name", "mpcli", "--chunk-size", "4",
+                   "--seed", "9"])
+    assert rc == 0
+    assert strip(solo) == merged
