@@ -178,6 +178,37 @@ def bench_sampling(trainer, num_samples: int = 4096) -> float:
     return num_samples / dt
 
 
+# Measured on the pure-CPU minimize phase (before any device work starts):
+# the median 32-genome single-thread sweep rate on a healthy host. The
+# settle gate's threshold derives from it instead of a hard-coded rig
+# constant (round-3 VERDICT weak #4 / advisor #2).
+_NATIVE_HEALTHY_RATE: float | None = None
+
+
+def _calibrate_native(engine) -> None:
+    global _NATIVE_HEALTHY_RATE
+    if _NATIVE_HEALTHY_RATE is not None:
+        return
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    drop = (rng.rand(32, engine.gene_names.size) < 0.5).astype(np.uint8)
+    outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
+    out = os.path.join(outdir, ".bench_calib.fasta")
+    rates = []
+    try:
+        for _ in range(3):
+            t0 = time.perf_counter()
+            engine.minimize_drop_to_fasta(drop, out, n_threads=1)
+            rates.append(32 / (time.perf_counter() - t0))
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
+    _NATIVE_HEALTHY_RATE = float(sorted(rates)[len(rates) // 2])
+    print(f"[bench] native calibration: healthy sweep {_NATIVE_HEALTHY_RATE:.0f}"
+          " genomes/s (1 thread)", file=sys.stderr)
+
+
 def bench_minimizer(n_genomes: int = 128) -> float:
     import numpy as np
 
@@ -199,6 +230,7 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_min.fasta")
     engine.minimize_drop_to_fasta(drop[:2], out)  # warmup (builds native lib)
+    _calibrate_native(engine)  # pure-CPU phase = the healthy-host reference
     t0 = time.perf_counter()
     engine.minimize_drop_to_fasta(drop, out)
     dt = time.perf_counter() - t0
@@ -206,7 +238,7 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     return n_genomes / dt
 
 
-def _settle_native(engine, budget_s: float = 75.0) -> float:
+def _settle_native(engine, budget_s: float = 75.0) -> tuple[float, bool]:
     """Wait until the host runs the native sweep at steady-state speed.
 
     On this rig, remote-compile service activity (the tunnel's host side)
@@ -215,31 +247,44 @@ def _settle_native(engine, budget_s: float = 75.0) -> float:
     wait (kernel-stack probes, round 3). Trials taken inside that window
     measure the compile aftermath, not the pipeline (the round-2/3 17-26x
     pipeline spreads). Gate: a 32-genome calibration sweep must hit
-    steady-state rate twice in a row before a timed trial starts.
-    Returns seconds spent settling (0.x when already settled)."""
+    steady-state rate twice in a row before a timed trial starts. The
+    threshold is half the healthy-host rate measured during the pure-CPU
+    minimize phase (_calibrate_native), overridable via GM2_SETTLE_MIN_RATE.
+
+    Returns (seconds spent settling, settled) — settled=False means the
+    budget expired without the gate clearing, i.e. the trial that follows
+    ran on a degraded host and its record is tagged accordingly (fail-loud,
+    round-3 VERDICT weak #4)."""
     import numpy as np
 
+    threshold = float(os.environ.get(
+        "GM2_SETTLE_MIN_RATE",
+        0.5 * _NATIVE_HEALTHY_RATE if _NATIVE_HEALTHY_RATE else 300.0))
     rng = np.random.RandomState(7)
     drop = (rng.rand(32, engine.gene_names.size) < 0.5).astype(np.uint8)
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_settle.fasta")
     t0 = time.perf_counter()
     good = 0
-    while time.perf_counter() - t0 < budget_s:
-        t1 = time.perf_counter()
-        engine.minimize_drop_to_fasta(drop, out, n_threads=1)
-        rate = 32 / (time.perf_counter() - t1)
-        good = good + 1 if rate >= 300.0 else 0
-        if good >= 2:
-            break
-        if good == 0:
-            time.sleep(2.0)
-    if os.path.exists(out):
-        os.remove(out)
+    try:
+        while time.perf_counter() - t0 < budget_s:
+            t1 = time.perf_counter()
+            engine.minimize_drop_to_fasta(drop, out, n_threads=1)
+            rate = 32 / (time.perf_counter() - t1)
+            good = good + 1 if rate >= threshold else 0
+            if good >= 2:
+                break
+            if good == 0:
+                time.sleep(2.0)
+    finally:
+        if os.path.exists(out):
+            os.remove(out)
     dt = time.perf_counter() - t0
-    if dt > 5.0:
-        print(f"[bench] host settle: {dt:.1f}s", file=sys.stderr)
-    return dt
+    settled = good >= 2
+    if dt > 5.0 or not settled:
+        print(f"[bench] host settle: {dt:.1f}s settled={settled} "
+              f"(threshold {threshold:.0f}/s)", file=sys.stderr)
+    return dt, settled
 
 
 def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
@@ -299,7 +344,9 @@ def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
                             process_index=0, process_count=1,
                             transfer=transfer)
         _SAMPLER_CACHE[key] = (engine, s, cols, True)
-    _settle_native(engine)  # steady-state gate (see _settle_native docstring)
+    # steady-state gate (see _settle_native docstring); a trial that starts
+    # unsettled is recorded with settled=False, not silently averaged in
+    _, settled = _settle_native(engine)
     stats = sample_and_minimize(s, engine, cols, essential_set, n_genomes, out,
                                 key=jax.random.key(0), chunk_size=chunk,
                                 process_index=0, process_count=1,
@@ -307,9 +354,18 @@ def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
     os.remove(out)
     print(f"[bench]   pipeline trial: steady {stats.steady_rate():.1f}/s "
           f"whole-run {stats.rate():.1f}/s sample_s={stats.sample_s:.2f} "
-          f"minimize_s={stats.minimize_s:.2f} total_s={stats.total_s:.2f}",
-          file=sys.stderr)
+          f"minimize_s={stats.minimize_s:.2f} total_s={stats.total_s:.2f} "
+          f"settled={settled}", file=sys.stderr)
+    PIPELINE_TRIALS.append({"steady": round(stats.steady_rate(), 2),
+                            "whole_run": round(stats.rate(), 2),
+                            "settled": settled})
     return stats.steady_rate()
+
+
+# Per-trial pipeline detail for the JSON record: the headline key stays the
+# steady-state median, but the whole-run rate and the settle-gate outcome of
+# every trial are recorded beside it (advisor round-3 #1 / VERDICT weak #4).
+PIPELINE_TRIALS: list = []
 
 
 def main():
@@ -324,42 +380,55 @@ def main():
     budget = float(os.environ.get("GM2_BENCH_BUDGET_S", "600"))
 
     variance = {}
+    phase_vals: dict = {}
 
     only = os.environ.get("GM2_BENCH_PHASES")  # dev knob: "pipeline,sampling"
     only_set = set(only.split(",")) if only else None
 
-    def phase(name, fn, optional=False, trials=1, guarantee=False):
+    def phase(name, fn, trials=1, min_trials=1, phase_budget=None):
+        """Run ``fn`` until ``name`` has ``trials`` recorded values; record
+        median + spread in extra.variance and return the MEDIAN — the record
+        number is the reproducible one, not best-of (round-1 VERDICT weak
+        #2). Budgeting is per-phase (round-3 VERDICT next #1): one stalled
+        remote compile (train_bs32 took 1,360s in the r3 driver run) must
+        not erase later phases' records, so ``min_trials`` values are taken
+        REGARDLESS of the global soft budget, and only trials beyond that
+        respect it plus this phase's own ``phase_budget``. Calling the same
+        name again later tops its sample up (the train phases run one
+        guaranteed trial early and spend leftover budget at the end).
+        Host-sensitive phases (native minimize, transfer-bound sampling,
+        the pipeline) share this 2-core host with the TPU client's service
+        threads, so single trials can swing several-fold — median-of-n>=3
+        is the only defensible record."""
         if only_set is not None and name not in only_set:
             return None
-        if (guarantee and optional
-                and time.perf_counter() - t_start > budget):
-            # One remote-compile stall (minutes-scale, this rig) in an early
-            # phase must not erase the record for the headline generation
-            # metrics — run a single trial over budget instead of skipping.
-            print(f"[bench] {name}: budget exceeded - single guaranteed trial",
-                  file=sys.stderr)
-            optional, trials = False, 1
-        """Run ``fn`` up to ``trials`` times (deadline-aware between trials);
-        record median + spread in extra.variance, return the MEDIAN — the
-        record number is the reproducible one, not best-of (round-1 VERDICT
-        weak #2). Host-sensitive phases (native minimize, transfer-bound
-        sampling, the pipeline) share this 2-core host with the TPU client's
-        service threads, so single trials can swing several-fold."""
-        if optional and time.perf_counter() - t_start > budget:
+        vals = phase_vals.setdefault(name, [])
+        t0 = time.perf_counter()
+        if min_trials == 0 and not vals \
+                and time.perf_counter() - t_start > budget:
             print(f"[bench] {name}: SKIPPED (budget)", file=sys.stderr)
             return None
-        t0 = time.perf_counter()
-        vals = []
+        target = len(vals) + trials
+
+        def may_continue():
+            if len(vals) < min_trials:
+                return True  # guaranteed sample size, budgets notwithstanding
+            if len(vals) >= target:
+                return False
+            if time.perf_counter() - t_start > budget:
+                return False
+            return (phase_budget is None
+                    or time.perf_counter() - t0 <= phase_budget)
+
         try:
-            vals.append(fn())
-            for _ in range(trials - 1):
-                if time.perf_counter() - t_start > budget:
-                    break
+            while may_continue():
                 vals.append(fn())
         except Exception as e:
             print(f"[bench] {name}: FAILED {e}", file=sys.stderr)
             if not vals:
                 return None
+        if not vals:
+            return None
         med = float(sorted(vals)[len(vals) // 2])
         variance[name] = {"median": round(med, 2),
                           "min": round(min(vals), 2),
@@ -369,31 +438,47 @@ def main():
         return med
 
     backend = jax.default_backend()
-    # Phase order = metric priority: the remote-compile service occasionally
-    # stalls for many minutes on ONE program, and once the soft budget is
-    # gone only already-run phases report. minimize first (pure CPU — the
-    # TPU client's service threads contend for the 2 cores once device work
-    # starts), then the two headline training metrics, then the rest.
-    minimize_gps = phase("minimize", bench_minimizer, trials=5)
+    # Phase order = record priority (round-3 VERDICT next #1): minimize
+    # first (pure CPU — the TPU client's service threads contend for the 2
+    # cores once device work starts, and it calibrates the settle gate);
+    # then ONE guaranteed train_bs32 trial (the headline metric + the warm
+    # chip); then the generation metrics at guaranteed n>=3 while their
+    # budget cannot have been starved; then bs2048 (the TFLOPs record) and
+    # whatever training top-ups fit the leftover global budget.
+    minimize_gps = phase("minimize", bench_minimizer, trials=5, min_trials=3,
+                         phase_budget=90)
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
-                      trials=3)
+                      trials=1)
+    sample_gps = phase("sampling", lambda: bench_sampling(trainer),
+                       trials=5, min_trials=3, phase_budget=120)
+    pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
+                         trials=3, min_trials=3, phase_budget=300)
     # bs=2048: the matmul-bound (MXU) regime — the train_tflops metric
     trainer_2048 = _make_trainer(2048)
     train_eps_2048 = phase("train_bs2048",
                            lambda: bench_training(trainer_2048, 8192),
-                           trials=3)
-    sample_gps = phase("sampling", lambda: bench_sampling(trainer),
-                       optional=True, trials=5, guarantee=True)
-    pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
-                         optional=True, trials=3, guarantee=True)
+                           trials=3, min_trials=1, phase_budget=150)
+    # top the headline train sample up to n=3 with leftover budget
+    train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
+                      trials=2, min_trials=0, phase_budget=120) or train_eps
     trainer_256 = _make_trainer(256)
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(trainer_256, N_TRAIN),
-                          optional=True, trials=2)
+                          trials=2, min_trials=0, phase_budget=60)
 
     base_eps = baseline.get("examples_per_sec")
     rnd = lambda v, p=1: round(v, p) if v is not None else None
+    if PIPELINE_TRIALS and "pipeline" in variance:
+        # headline key = steady-state median (declared semantics); the
+        # whole-run rate and per-trial settle outcomes ride beside it so
+        # cross-round comparisons and degraded-host runs are visible in the
+        # record (advisor r3 #1, VERDICT r3 weak #4)
+        wr = sorted(t["whole_run"] for t in PIPELINE_TRIALS)
+        variance["pipeline"]["whole_run_median"] = wr[len(wr) // 2]
+        variance["pipeline"]["settled"] = all(
+            t["settled"] for t in PIPELINE_TRIALS)
+        variance["pipeline"]["trials"] = PIPELINE_TRIALS
     result = {
         "metric": "v0_train_examples_per_sec",
         "value": rnd(train_eps),
