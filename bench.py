@@ -459,6 +459,15 @@ def main():
     train_eps_2048 = phase("train_bs2048",
                            lambda: bench_training(trainer_2048, 8192),
                            trials=3, min_trials=1, phase_budget=150)
+    # bs=8192: the measured MFU optimum on this chip (~159 TF vs ~113 at
+    # bs2048 — tools/ab_large_batch.py, round 4: the optimizer's fixed
+    # ~2.8 ms/step plus per-step dispatch amortize with batch; 12288 ties,
+    # 16384 needs single-step epochs and loses). bs2048 stays recorded for
+    # cross-round comparability.
+    trainer_8192 = _make_trainer(8192)
+    train_eps_8192 = phase("train_bs8192",
+                           lambda: bench_training(trainer_8192, 32768),
+                           trials=2, min_trials=1, phase_budget=120)
     # top the headline train sample up to n=3 with leftover budget
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
                       trials=2, min_trials=0, phase_budget=120) or train_eps
@@ -494,6 +503,10 @@ def main():
             "train_tflops_bs2048": (
                 round(train_eps_2048 * 0.7e9 / 1e12, 1)
                 if train_eps_2048 else None),  # ~0.7 GFLOP/example (3x fwd)
+            "train_examples_per_sec_bs8192": rnd(train_eps_8192),
+            "train_tflops_bs8192": (
+                round(train_eps_8192 * 0.7e9 / 1e12, 1)
+                if train_eps_8192 else None),
             "baseline_examples_per_sec": base_eps,
             "genomes_sampled_per_sec": rnd(sample_gps),
             "genomes_minimized_per_sec": rnd(minimize_gps, 2),
