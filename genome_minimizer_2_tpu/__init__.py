@@ -28,6 +28,7 @@ _API = {
     "get_preset_config": "utils.config",
     "load_and_validate_data": "data.dataset",
     "load_matrix": "data.dataset",
+    "load_gene_vocab": "data.dataset",
     "three_way_split": "data.split",
     "VAETrainer": "train.trainer",
     "create_trainer": "train.trainer",

@@ -128,6 +128,35 @@ class Sampler:
         self._decode_binary = self._jit_rowwise(_decode_binary_fn)
         self._decode_probs = self._jit_rowwise(_decode_probs_fn)
         self._encode_mean = self._jit_rowwise(_encode_mean_fn)
+        self._pin_state()
+
+    def _pin_state(self):
+        """Place model state on the target device(s) ONCE.
+
+        jax.jit does NOT cache host->device transfers of numpy operands:
+        checkpoint-loaded (numpy) params would re-ship ~450 MB at flagship
+        dims on EVERY decoded chunk — through this rig's ~MB/s tunneled
+        link, hours instead of seconds for a 100k-sample run (found by the
+        round-4 north-star scale run; the bench never saw it because its
+        Sampler inherits the trainer's on-device state). Only numpy leaves
+        move; jax Arrays (already placed, possibly sharded) pass through.
+        """
+        put = None
+        if self.mesh is not None and self.mesh.size > 1:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel.mesh import put_global
+
+            rep = NamedSharding(self.mesh, P())
+            put = lambda x: put_global(x, rep)
+        else:
+            put = jax.device_put
+
+        def pin(leaf):
+            return put(leaf) if isinstance(leaf, np.ndarray) else leaf
+
+        self.params = jax.tree.map(pin, self.params)
+        self.batch_stats = jax.tree.map(pin, self.batch_stats)
 
     # -- helpers ------------------------------------------------------------
 

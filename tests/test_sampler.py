@@ -248,3 +248,21 @@ def test_write_samples_csv_stream_byte_identical(tmp_path):
     S.write_samples_to_dataframe(dense, genes, str(ref_path))
     S.write_samples_csv_stream(packed, genes, str(new_path), gene_chunk=10)
     assert new_path.read_bytes() == ref_path.read_bytes()
+
+
+def test_sampler_pins_numpy_state_to_device(sampler):
+    """Checkpoint-loaded (numpy) state must be placed on device ONCE at
+    construction: jit does not cache host->device transfers of numpy
+    operands, so un-pinned params re-ship per decoded chunk (~450 MB at
+    flagship dims — the round-4 100k scale run found this). Decode results
+    must be identical to the already-on-device sampler's."""
+    cfg = sampler.cfg
+    p_np = jax.tree.map(np.asarray, sampler.params)
+    s_np = jax.tree.map(np.asarray, sampler.batch_stats)
+    smp = S.Sampler(cfg=cfg, params=p_np, batch_stats=s_np, chunk_size=16)
+    for leaf in (jax.tree.leaves(smp.params)
+                 + jax.tree.leaves(smp.batch_stats)):
+        assert isinstance(leaf, jax.Array), type(leaf)
+    a, _, _ = smp.sample(jax.random.key(3), 21)
+    b, _, _ = sampler.sample(jax.random.key(3), 21)
+    np.testing.assert_array_equal(a, b)
