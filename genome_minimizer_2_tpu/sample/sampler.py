@@ -609,19 +609,54 @@ def write_samples_csv_stream(
     """Genes x samples CSV, byte-identical to
     :func:`write_samples_to_dataframe` of the unpacked matrix, but emitted in
     gene-row blocks extracted from the packed bitmask — the transpose the
-    reference materializes densely (extras.py:31-39) is never built. Peak
-    extra memory = one (gene_chunk, N) uint8 block."""
+    reference materializes densely (extras.py:31-39) is never built.
+
+    Serialization is vectorized byte assembly, not a CSV formatter: each
+    gene block's bits come out of the bitmask with one ``np.unpackbits``
+    over a contiguous byte slice, and each [',', digit] cell pair is built
+    as a single little-endian uint16 (0x302C + (bit << 8)) so whole rows
+    materialize with two full-width arithmetic passes — no per-cell
+    formatting, no strided half-writes. pandas' to_csv measured ~2 MB/s on
+    100k-wide rows (the round-4 100k scale run would have spent ~100 min
+    formatting); this runs near memory speed. Gene names follow
+    csv.QUOTE_MINIMAL, matching the pandas output byte-for-byte (tested).
+    Block rows adapt so peak extra memory stays a few hundred MB at any
+    sample count."""
+    import csv
+    import io
+
     packed = np.asarray(packed, np.uint8)
     n = packed.shape[0]
     genes = list(all_genes)
-    sample_cols = [f"Sample_{i + 1}" for i in range(n)]
-    idx = np.arange(len(genes), dtype=np.int64)
-    with open(output_file, "w", newline="") as f:
-        for lo in range(0, len(genes), gene_chunk):
-            hi = min(lo + gene_chunk, len(genes))
-            sel = idx[lo:hi]
-            # bits of genes [lo, hi) across ALL samples: (N, G) -> (G, N)
-            block = ((packed[:, sel >> 3] >> (sel & 7).astype(np.uint8)) & 1).T
-            df = pd.DataFrame(block.astype(np.uint8), columns=sample_cols)
-            df.insert(0, "Gene", genes[lo:hi])
-            df.to_csv(f, index=False, header=(lo == 0))
+
+    def field(s: str) -> str:
+        s = str(s)
+        if any(c in s for c in ',"\r\n'):
+            buf = io.StringIO()
+            csv.writer(buf, lineterminator="").writerow([s])
+            return buf.getvalue()
+        return s
+
+    # bound the per-block byte buffers to ~128 MB regardless of sample count
+    g_eff = max(16, min(gene_chunk, (128 << 20) // max(1, 2 * n)))
+    header = ",".join(["Gene"] + [f"Sample_{i + 1}" for i in range(n)])
+    with open(output_file, "wb") as f:
+        f.write(header.encode() + b"\n")
+        for lo in range(0, len(genes), g_eff):
+            hi = min(lo + g_eff, len(genes))
+            # bits of genes [lo, hi) across ALL samples: unpack the
+            # contiguous byte slice, trim to the gene window, transpose
+            b0, b1 = lo >> 3, (hi + 7) >> 3
+            bits = np.unpackbits(packed[:, b0:b1], axis=1,
+                                 bitorder="little")[:, lo - 8 * b0:
+                                                    hi - 8 * b0]
+            bits_t = np.ascontiguousarray(bits.T)  # (G, N)
+            pairs = (0x302C + (bits_t.astype(np.uint16) << 8)).astype(
+                "<u2", copy=False)  # LE bytes [',', '0'+bit] per cell
+            rows = pairs.view(np.uint8).reshape(hi - lo, 2 * n)
+            out = bytearray()
+            for i, g in enumerate(genes[lo:hi]):
+                out += field(g).encode()
+                out += rows[i].tobytes()
+                out += b"\n"
+            f.write(out)
