@@ -172,6 +172,7 @@ class MinimizerEngine:
         append: bool = False,
         use_native: bool | None = None,
         n_threads: int = 0,
+        write_base: int | None = None,
     ) -> np.ndarray:
         """FASTA directly from PACKED presence bitmasks (uint8, little bit
         order over the original dataset columns — the sampler's on-device
@@ -189,7 +190,8 @@ class MinimizerEngine:
             return native.minimize_packed_to_fasta(
                 self.seq_bytes, self.starts, self.ends, packed,
                 col_idx, ess, path, SEQ_ID_PREFIX,
-                start_index=start_index, append=append, n_threads=n_threads)
+                start_index=start_index, append=append, n_threads=n_threads,
+                write_base=write_base)
         # fallback: identical semantics via the staged unpack -> drop path
         bits = np.unpackbits(packed, axis=1, bitorder="little")
         padded = np.concatenate(
@@ -198,7 +200,8 @@ class MinimizerEngine:
         present = padded[:, col_idx]  # col_idx == -1 -> the padded False col
         drop = (~(present | np.asarray(ess, bool)[None, :])).astype(np.uint8)
         return self.minimize_drop_to_fasta(drop, path, start_index=start_index,
-                                           append=append, use_native=False)
+                                           append=append, use_native=False,
+                                           write_base=write_base)
 
     def drop_masks_from_binary(
         self, binary: np.ndarray, col_idx: np.ndarray, ess: np.ndarray
@@ -239,9 +242,15 @@ class MinimizerEngine:
         append: bool = False,
         use_native: bool | None = None,
         n_threads: int = 0,
+        write_base: int | None = None,
     ) -> np.ndarray:
         """FASTA from precomputed (n, F) drop masks (the vectorized pipeline
-        path — see drop_masks_from_binary); returns minimized lengths."""
+        path — see drop_masks_from_binary); returns minimized lengths.
+
+        ``write_base``: write the batch at this exact byte offset instead of
+        append/fresh semantics (native._write_base) — the streaming
+        pipeline's in-place rewrite path; the caller truncates the file to
+        the stream's final size at the end."""
         from . import native
 
         drop = np.ascontiguousarray(drop, np.uint8)
@@ -251,10 +260,17 @@ class MinimizerEngine:
             return native.minimize_to_fasta(
                 self.seq_bytes, self.starts, self.ends, drop, path,
                 SEQ_ID_PREFIX, start_index=start_index, append=append,
-                n_threads=n_threads)
+                n_threads=n_threads, write_base=write_base)
         L = self.original_length
         lens = np.zeros(drop.shape[0], np.int64)
-        with open(path, "ab" if append else "wb") as out:
+        if write_base is not None:
+            if not os.path.exists(path):
+                open(path, "wb").close()
+            out_cm = open(path, "r+b")
+            out_cm.seek(int(write_base))
+        else:
+            out_cm = open(path, "ab" if append else "wb")
+        with out_cm as out:
             for i in range(drop.shape[0]):
                 diff = np.zeros(L + 1, np.int32)
                 sel = drop[i].astype(bool)

@@ -74,13 +74,14 @@ def get_lib():
         lib.gm2_minimize_to_fasta.argtypes = [
             u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64, u8p,
             ctypes.c_int64, ctypes.c_char_p, ctypes.c_char_p,
-            ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int, i64p,
         ]
         lib.gm2_minimize_to_fasta.restype = ctypes.c_int
         lib.gm2_minimize_packed_to_fasta.argtypes = [
             u8p, ctypes.c_int64, i64p, i64p, ctypes.c_int64, u8p,
             ctypes.c_int64, i64p, u8p, ctypes.c_int64, ctypes.c_char_p,
-            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int, ctypes.c_int, i64p,
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int,
+            i64p,
         ]
         lib.gm2_minimize_packed_to_fasta.restype = ctypes.c_int
         _lib = lib
@@ -116,6 +117,23 @@ def minimize_batch(
     return [out[i, : out_lens[i]].tobytes() for i in range(n)]
 
 
+
+
+def _write_base(append: bool, write_base) -> int:
+    """Map the Python-side (append, write_base) pair onto the native mode:
+    -1 fresh in-place rewrite (exact final size), -2 append at EOF, >= 0
+    write the batch at that byte offset (grow-only; the caller truncates at
+    stream end). Offset mode exists so chunked streams can rewrite a
+    previous output's pages in place instead of re-allocating them (up to
+    ~40x on memory-overcommitted hosts — BASELINE.md round 4)."""
+    if write_base is not None:
+        wb = int(write_base)
+        if wb < 0:
+            raise ValueError(f"write_base must be >= 0, got {wb}")
+        return wb
+    return -2 if append else -1
+
+
 def minimize_to_fasta(
     seq_bytes: np.ndarray,
     starts: np.ndarray,
@@ -126,6 +144,7 @@ def minimize_to_fasta(
     start_index: int = 0,
     append: bool = False,
     n_threads: int = 0,
+    write_base: int | None = None,
 ) -> np.ndarray:
     """Native batch minimize writing FASTA records directly; returns lengths.
 
@@ -143,7 +162,7 @@ def minimize_to_fasta(
     rc = lib.gm2_minimize_to_fasta(
         seq_bytes, seq_bytes.shape[0], starts, ends, starts.shape[0], drop,
         drop.shape[0], path.encode(), header_prefix.encode(),
-        start_index, int(append), n_threads, out_lens)
+        start_index, _write_base(append, write_base), n_threads, out_lens)
     if rc != 0:
         raise RuntimeError(f"gm2_minimize_to_fasta failed: rc={rc}")
     return out_lens
@@ -161,6 +180,7 @@ def minimize_packed_to_fasta(
     start_index: int = 0,
     append: bool = False,
     n_threads: int = 0,
+    write_base: int | None = None,
 ) -> np.ndarray:
     """Converter-fused native FASTA: the feature drop decision
     (kept iff bit(col_idx) set or essential) runs inside the minimize
@@ -181,7 +201,8 @@ def minimize_packed_to_fasta(
     rc = lib.gm2_minimize_packed_to_fasta(
         seq_bytes, seq_bytes.shape[0], starts, ends, starts.shape[0],
         packed, packed.shape[1], col_idx, ess, n, path.encode(),
-        header_prefix.encode(), start_index, int(append), n_threads, out_lens)
+        header_prefix.encode(), start_index,
+        _write_base(append, write_base), n_threads, out_lens)
     if rc != 0:
         raise RuntimeError(f"gm2_minimize_packed_to_fasta failed: rc={rc}")
     return out_lens

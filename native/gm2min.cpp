@@ -12,6 +12,7 @@
 #include <errno.h>
 #include <fcntl.h>
 #include <sys/mman.h>
+#include <sys/stat.h>
 #include <unistd.h>
 
 #include <algorithm>
@@ -202,9 +203,14 @@ static bool pwrite_all(int fd, const uint8_t* buf, size_t len, int64_t off) {
   return true;
 }
 
+// write_base: -1 = fresh rewrite (file_base 0, exact final size),
+// -2 = append at current EOF, >=0 = write this batch at that exact byte
+// offset (grow-only sizing; the caller truncates at stream end). The
+// offset mode lets a chunked stream rewrite a previous output in place,
+// recycling its materialized pages (see the O_TRUNC note below).
 static int minimize_to_fasta_impl(BatchArgs base, const char* path,
                                   const char* header_prefix,
-                                  int64_t start_index, int append,
+                                  int64_t start_index, int64_t write_base,
                                   int n_threads, int64_t* out_lens) {
   if (!path || !header_prefix) return 1;
   // O_RDWR, not O_WRONLY: a MAP_SHARED PROT_WRITE mmap requires a
@@ -212,16 +218,27 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
   // below silently never engages and every byte goes through the pwrite
   // fallback's shmem write syscall path (double copy + per-page kernel
   // work; observed as 50%-sys-time collapses under the pipeline bench).
-  int fd = ::open(path, O_RDWR | O_CREAT | (append ? 0 : O_TRUNC), 0644);
+  //
+  // No O_TRUNC on fresh writes: truncating releases the previous file's
+  // backing pages, so a rewrite pays fresh page allocation for every byte.
+  // On memory-overcommitted hosts the fresh-allocation path measured up to
+  // ~40x slower than stores to already-materialized pages (0.1 vs 4.5 GB/s,
+  // BASELINE.md round 4); keeping the pages makes repeated runs to the same
+  // output immune to that. Content is unaffected: pass 2 overwrites
+  // [file_base, total) completely and the ftruncate below sets the exact
+  // final size (removing any stale tail a smaller rewrite would leave).
+  int fd = ::open(path, O_RDWR | O_CREAT, 0644);
   if (fd < 0) return 2;
   int64_t file_base = 0;
-  if (append) {
+  if (write_base == -2) {
     off_t end = ::lseek(fd, 0, SEEK_END);
     if (end < 0) {
       ::close(fd);
       return 2;
     }
     file_base = static_cast<int64_t>(end);
+  } else if (write_base >= 0) {
+    file_base = write_base;
   }
 
   int64_t n_samples = base.n_samples;
@@ -288,11 +305,36 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
   // Records are disjoint regions, so workers never contend. Falls back to
   // per-worker buffers + pwrite when mmap isn't available for the target.
   int64_t total_bytes = off;
+  // Sizing by mode:
+  //  fresh (-1): exact final size up front — shrinks away the stale tail
+  //    of a larger previous file (no O_TRUNC at open). If that shrink
+  //    fails with a larger file in place, stale records would survive
+  //    pass 2 — hard error, not a fallback.
+  //  append (-2) / offset (>=0): grow-only — an offset writer is one
+  //    chunk of a longer stream, so the stale tail beyond it belongs to
+  //    the caller (truncated once at stream end; shrinking here would
+  //    free exactly the pages the offset mode exists to recycle).
+  bool sized;
+  if (write_base == -1) {
+    sized = ::ftruncate(fd, static_cast<off_t>(total_bytes)) == 0;
+    if (!sized) {
+      struct stat st;
+      if (::fstat(fd, &st) != 0 || st.st_size > total_bytes) {
+        ::close(fd);
+        return 2;
+      }
+      // old size <= total: safe — the pwrite fallback extends implicitly
+    }
+  } else {
+    struct stat st;
+    sized = ::fstat(fd, &st) == 0;
+    if (sized && st.st_size < total_bytes)
+      sized = ::ftruncate(fd, static_cast<off_t>(total_bytes)) == 0;
+  }
   uint8_t* map = nullptr;
   int64_t map_base = 0;
   size_t map_len = 0;
-  if (total_bytes > file_base &&
-      ::ftruncate(fd, static_cast<off_t>(total_bytes)) == 0) {
+  if (total_bytes > file_base && sized) {
     long pg = ::sysconf(_SC_PAGESIZE);
     if (pg > 0) {
       map_base = (file_base / pg) * pg;
@@ -363,7 +405,7 @@ static int minimize_to_fasta_impl(BatchArgs base, const char* path,
     // Python as an exception, but defense-in-depth: restore the file to its
     // pre-call state (append) or remove it (fresh write) so a failed call
     // can never leave a plausible-looking but corrupt FASTA behind.
-    if (append) {
+    if (write_base != -1) {
       (void)::ftruncate(fd, static_cast<off_t>(file_base));
     } else {
       (void)::unlink(path);
@@ -377,11 +419,12 @@ int gm2_minimize_to_fasta(const uint8_t* seq, int64_t L, const int64_t* starts,
                           const int64_t* ends, int64_t F, const uint8_t* drop,
                           int64_t n_samples, const char* path,
                           const char* header_prefix, int64_t start_index,
-                          int append, int n_threads, int64_t* out_lens) {
+                          int64_t write_base, int n_threads,
+                          int64_t* out_lens) {
   BatchArgs a{seq, L, starts, ends, nullptr, F, drop, n_samples, nullptr,
               nullptr};
-  return minimize_to_fasta_impl(a, path, header_prefix, start_index, append,
-                                n_threads, out_lens);
+  return minimize_to_fasta_impl(a, path, header_prefix, start_index,
+                                write_base, n_threads, out_lens);
 }
 
 // Packed pipeline fast path: converter semantics fused into the minimize
@@ -394,7 +437,7 @@ int gm2_minimize_packed_to_fasta(const uint8_t* seq, int64_t L,
                                  int64_t packed_stride, const int64_t* col_idx,
                                  const uint8_t* ess, int64_t n_samples,
                                  const char* path, const char* header_prefix,
-                                 int64_t start_index, int append,
+                                 int64_t start_index, int64_t write_base,
                                  int n_threads, int64_t* out_lens) {
   if (!packed || !col_idx || !ess) return 1;
   BatchArgs a{seq, L, starts, ends, nullptr, F, nullptr, n_samples, nullptr,
@@ -403,8 +446,8 @@ int gm2_minimize_packed_to_fasta(const uint8_t* seq, int64_t L,
   a.packed_stride = packed_stride;
   a.col_idx = col_idx;
   a.ess = ess;
-  return minimize_to_fasta_impl(a, path, header_prefix, start_index, append,
-                                n_threads, out_lens);
+  return minimize_to_fasta_impl(a, path, header_prefix, start_index,
+                                write_base, n_threads, out_lens);
 }
 
 }  // extern "C"

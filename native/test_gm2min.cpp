@@ -7,6 +7,8 @@
 // for the multithreaded sweep workers (the reference is single-threaded
 // Python and has no such subsystem; SURVEY.md §5).
 
+#include <unistd.h>
+
 #include <cstdint>
 #include <cstdio>
 #include <cstdlib>
@@ -21,7 +23,7 @@ int gm2_minimize_batch(const uint8_t*, int64_t, const int64_t*, const int64_t*,
                        int);
 int gm2_minimize_to_fasta(const uint8_t*, int64_t, const int64_t*,
                           const int64_t*, int64_t, const uint8_t*, int64_t,
-                          const char*, const char*, int64_t, int, int,
+                          const char*, const char*, int64_t, int64_t, int,
                           int64_t*);
 int gm2_minimize_packed_batch(const uint8_t*, int64_t, const int64_t*,
                               const int64_t*, int64_t, const uint8_t*,
@@ -94,7 +96,8 @@ int main() {
   const char* path = "/tmp/gm2min_test.fasta";
   std::vector<int64_t> lens2(static_cast<size_t>(N));
   rc = gm2_minimize_to_fasta(seq.data(), L, starts.data(), ends.data(), F,
-                             drop.data(), N, path, "T", 0, 0, 8, lens2.data());
+                             drop.data(), N, path, "T", 0, -1, 8,
+                             lens2.data());
   if (rc != 0) {
     std::fprintf(stderr, "FAIL: to_fasta rc=%d\n", rc);
     return 1;
@@ -102,6 +105,58 @@ int main() {
   for (int64_t i = 0; i < N; ++i) {
     if (lens2[static_cast<size_t>(i)] != lens[static_cast<size_t>(i)]) {
       std::fprintf(stderr, "FAIL: to_fasta lens mismatch\n");
+      return 1;
+    }
+  }
+
+  // --- write_base modes: the same batch written (a) fresh in one call,
+  // (b) as two offset-mode chunks REWRITING the larger file (a) left
+  // behind, caller-truncated at stream end — must be byte-identical.
+  // Exercises in-place rewrite (page recycling) incl. the stale-tail rule.
+  {
+    std::FILE* f = std::fopen(path, "rb");
+    std::fseek(f, 0, SEEK_END);
+    long fresh_size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::string fresh(static_cast<size_t>(fresh_size), '\0');
+    if (std::fread(fresh.data(), 1, fresh.size(), f) != fresh.size()) {
+      std::fprintf(stderr, "FAIL: fresh read\n");
+      return 1;
+    }
+    std::fclose(f);
+
+    int64_t half = N / 2;
+    int64_t off1 = 0;
+    // record bytes: ">T_" + idx + "\n" + seq + "\n"
+    for (int64_t i = 0; i < half; ++i)
+      off1 += 3 + static_cast<int64_t>(std::to_string(i + 1).size()) + 1 +
+              lens[static_cast<size_t>(i)] + 1;
+    int64_t total = off1;
+    for (int64_t i = half; i < N; ++i)
+      total += 3 + static_cast<int64_t>(std::to_string(i + 1).size()) + 1 +
+               lens[static_cast<size_t>(i)] + 1;
+    rc = gm2_minimize_to_fasta(seq.data(), L, starts.data(), ends.data(), F,
+                               drop.data(), half, path, "T", 0, 0, 8, nullptr);
+    int rc2 = gm2_minimize_to_fasta(seq.data(), L, starts.data(), ends.data(),
+                                    F, drop.data() + half * F, N - half, path,
+                                    "T", half, off1, 8, nullptr);
+    if (rc != 0 || rc2 != 0 || ::truncate(path, total) != 0) {
+      std::fprintf(stderr, "FAIL: offset-mode rc=%d/%d\n", rc, rc2);
+      return 1;
+    }
+    f = std::fopen(path, "rb");
+    std::fseek(f, 0, SEEK_END);
+    long rw_size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    std::string rewritten(static_cast<size_t>(rw_size), '\0');
+    if (std::fread(rewritten.data(), 1, rewritten.size(), f) !=
+        rewritten.size()) {
+      std::fprintf(stderr, "FAIL: rewrite read\n");
+      return 1;
+    }
+    std::fclose(f);
+    if (rewritten != fresh) {
+      std::fprintf(stderr, "FAIL: offset-mode rewrite != fresh write\n");
       return 1;
     }
   }

@@ -216,3 +216,28 @@ def test_packed_native_fasta_matches_staged_path(setup, tmp_path):
         engine.minimize_packed_to_fasta(packed, col_idx, ess, str(out),
                                         use_native=use_native)
         assert out.read_bytes() == staged.read_bytes(), label
+
+
+def test_pipeline_rewrite_over_larger_previous_output(setup, tmp_path):
+    """In-place stream rewrite (round 4): the pipeline writes chunks at
+    explicit offsets and truncates once at stream end, so a path holding a
+    LARGER previous output is rewritten page-in-place — output must be
+    byte-identical (modulo the timestamp header line) to a fresh-path run,
+    with no stale tail surviving."""
+    sampler, engine, cols, essential_set = setup
+    out = tmp_path / "rw.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 15, str(out),
+                        key=jax.random.key(8), chunk_size=4,
+                        process_index=0, process_count=1)
+    assert out.read_text().count(">") == 15
+    sample_and_minimize(sampler, engine, cols, essential_set, 6, str(out),
+                        key=jax.random.key(8), chunk_size=4,
+                        process_index=0, process_count=1)
+    fresh = tmp_path / "fresh.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 6, str(fresh),
+                        key=jax.random.key(8), chunk_size=4,
+                        process_index=0, process_count=1)
+    strip = lambda p: [l for l in p.read_text().splitlines()
+                       if not l.startswith("# Generated on")]
+    assert strip(out) == strip(fresh)
+    assert out.read_text().count(">") == 6
