@@ -381,6 +381,31 @@ def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
 PIPELINE_TRIALS: list = []
 
 
+def sink_alloc_gbps(size_mb: int = 64) -> float:
+    """Fresh tmpfs page-allocation throughput — the output sink's weather.
+
+    On this memory-overcommitted host, materializing NEW pages (write(),
+    mmap fault, POPULATE_WRITE alike) measured anywhere from 0.03 to 4.5
+    GB/s run-to-run, while stores to resident pages hold ~5 GB/s. The
+    bench's trial outputs are page-recycled so the recorded rates are
+    weather-immune, but unbounded production streams (e.g. a 100k-genome
+    run) are sink-bound under bad weather — recording the weather makes
+    any such number interpretable."""
+    buf = bytearray(1 << 20)
+    outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
+    p = os.path.join(outdir, ".bench_sink_probe")
+    fd = os.open(p, os.O_RDWR | os.O_CREAT | os.O_TRUNC)
+    try:
+        t0 = time.perf_counter()
+        for _ in range(size_mb):
+            os.write(fd, buf)
+        dt = time.perf_counter() - t0
+    finally:
+        os.close(fd)
+        os.remove(p)
+    return size_mb / 1024 / dt
+
+
 def main():
     t_start = time.perf_counter()
     baseline = measure_torch_baseline()
@@ -491,6 +516,13 @@ def main():
 
     base_eps = baseline.get("examples_per_sec")
     rnd = lambda v, p=1: round(v, p) if v is not None else None
+    try:
+        sink_gbps = round(sink_alloc_gbps(), 3)
+    except OSError:
+        sink_gbps = None
+    for f in _CLEANUP:
+        if os.path.exists(f):
+            os.remove(f)
     if PIPELINE_TRIALS and "pipeline" in variance:
         # headline key = steady-state median (declared semantics); the
         # whole-run rate and per-trial settle outcomes ride beside it so
@@ -524,6 +556,7 @@ def main():
             "genomes_sampled_per_sec": rnd(sample_gps),
             "genomes_minimized_per_sec": rnd(minimize_gps, 2),
             "genomes_sampled_and_minimized_per_sec": rnd(pipeline_gps, 2),
+            "sink_fresh_alloc_gbps": sink_gbps,
             "variance": variance,
             "bench_wall_s": round(time.perf_counter() - t_start, 1),
         },

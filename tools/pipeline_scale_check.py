@@ -197,6 +197,11 @@ def main():
         puncher = HolePuncher(out)
         puncher.start()
 
+    sink0 = B.sink_alloc_gbps()
+    print(f"[scale] sink fresh-alloc weather: {sink0:.2f} GB/s "
+          "(unbounded streams are sink-bound below ~1.5 GB/s — "
+          "bench.sink_alloc_gbps docstring)", flush=True)
+
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     t0 = time.time()
     rc = cli.main(["--mode", "pipeline", "--model-path", ck,
