@@ -78,6 +78,12 @@ def parse_arguments(argv=None):
                         help="Number of samples to generate")
     parser.add_argument("--sampling-mode", choices=["default", "focused"],
                         default="default", help="Sampling mode")
+    parser.add_argument("--save-dtype", choices=["float32", "uint8"],
+                        default="float32",
+                        help="dtype of the sample-mode binary_samples .npy "
+                             "(float32 = reference-compatible; uint8 is 4x "
+                             "smaller/faster at 100k scale — converters "
+                             "accept either)")
     parser.add_argument("--noise-level", type=float, default=0.1,
                         help="Noise level for focused sampling")
     parser.add_argument("--force-reprocess", action="store_true",
@@ -280,7 +286,7 @@ def run_sampling(args) -> bool:
         SMP.save_binary_npy_stream(
             packed, matrix.n_genes,
             str(output_dir / f"{model_name}_binary_samples_{args.sampling_mode}.npy"),
-            dtype=np.float32)
+            dtype=np.dtype(args.save_dtype))
         SMP.write_samples_csv_stream(
             packed, matrix.genes,
             str(output_dir / f"{model_name}_data_full_samples_df.csv"))

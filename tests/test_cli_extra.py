@@ -70,3 +70,33 @@ def test_checkpoint_every_and_resume(cli_root):
     rc = cli.main(common + ["--n-epochs", "4", "--experiment-name", "ck2",
                             "--resume-from", str(state_ckpt)])
     assert rc == 0
+
+
+def test_sample_save_dtype_uint8(cli_root):
+    """--save-dtype uint8: binary_samples .npy written as uint8 (4x smaller
+    at scale), values identical to the float32 default; converters accept
+    either dtype."""
+    import jax
+
+    from genome_minimizer_2_tpu.models import vae
+    from genome_minimizer_2_tpu.utils import checkpoint as CKPT
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    assert cli.main(["--mode", "preprocess", "--force-reprocess"]) == 0
+    cfg = ExperimentConfig(hidden_dim=8, latent_dim=2, trainer_version="v2")
+    vcfg = vae.VAEConfig(input_dim=120, hidden_dim=8, latent_dim=2)
+    params, stats = vae.init(vcfg, jax.random.key(4))
+    ck = str(directories.project_root() / "saved_VAE_v2.npz")
+    CKPT.save_checkpoint(ck, params, stats, cfg, extra={"input_dim": 120})
+
+    sdir = directories.project_root() / "models" / "v2_model" / "sampling_results"
+    npy = sdir / "v2_binary_samples_default.npy"
+    assert cli.main(["--mode", "sample", "--model-path", ck,
+                     "--num-samples", "9"]) == 0
+    f32 = np.load(npy)
+    assert f32.dtype == np.float32
+    assert cli.main(["--mode", "sample", "--model-path", ck,
+                     "--num-samples", "9", "--save-dtype", "uint8"]) == 0
+    u8 = np.load(npy)
+    assert u8.dtype == np.uint8
+    np.testing.assert_array_equal(u8.astype(np.float32), f32)

@@ -66,3 +66,39 @@ def test_drop_masks_semantics(engine):
                                   + np.array([n not in set(genes) for n in names],
                                              np.uint8))
     assert drop[1].all()  # nothing needed -> drop everything
+
+
+def test_write_base_offset_mode_native_and_fallback(engine, tmp_path):
+    """write_base (explicit byte offset) mode: two half-batches written at
+    computed offsets + a stream-end truncate must be byte-identical to one
+    fresh write — for BOTH the native writer and the Python fallback, and
+    when rewriting over a larger stale file (recycled pages path)."""
+    import os
+
+    eng, genes = engine
+    rng = np.random.RandomState(3)
+    drop = (rng.rand(9, eng.gene_names.size) < 0.4).astype(np.uint8)
+
+    fresh = tmp_path / "fresh.fasta"
+    lens = eng.minimize_drop_to_fasta(drop, str(fresh), use_native=True)
+
+    prefix_len = len(M.SEQ_ID_PREFIX) + 4  # '>' + prefix + '_' + '\n' + '\n'
+    for use_native in (True, False):
+        out = tmp_path / f"off_{use_native}.fasta"
+        # stale larger content first: offset mode must not leave a tail
+        out.write_bytes(b"x" * (fresh.stat().st_size + 4096))
+        off = 0
+        for lo, hi in ((0, 5), (5, 9)):
+            part = eng.minimize_drop_to_fasta(
+                drop[lo:hi], str(out), start_index=lo,
+                use_native=use_native, write_base=off)
+            off += int(part.sum()) + sum(
+                prefix_len + len(str(j + 1)) for j in range(lo, hi))
+        os.truncate(out, off)
+        assert out.read_bytes() == fresh.read_bytes(), f"native={use_native}"
+        np.testing.assert_array_equal(
+            np.concatenate([eng.minimize_drop_to_fasta(
+                drop[0:5], str(tmp_path / "x.fasta"), use_native=use_native),
+                eng.minimize_drop_to_fasta(
+                drop[5:9], str(tmp_path / "x.fasta"), use_native=use_native)]),
+            lens)
