@@ -381,6 +381,26 @@ def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
 PIPELINE_TRIALS: list = []
 
 
+def link_d2h_mbps(size_mb: int = 24) -> float:
+    """Device->host transfer bandwidth — the sampling metric's weather.
+
+    Sampling is transfer-bound (packed bitmasks, ~6.9 KB/genome), and this
+    rig's tunneled link measured anywhere from ~19 to ~32 MB/s across
+    sessions; recording it beside the sampling median makes cross-round
+    comparisons interpretable."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = size_mb * (1 << 20) // 4
+    make = jax.jit(lambda: jnp.zeros((n,), jnp.float32))
+    x = make()
+    np.asarray(make())  # warm the transfer path + finish the compute
+    t0 = time.perf_counter()
+    np.asarray(x)
+    return size_mb / (time.perf_counter() - t0)
+
+
 def sink_alloc_gbps(size_mb: int = 64) -> float:
     """Fresh tmpfs page-allocation throughput — the output sink's weather.
 
@@ -488,6 +508,12 @@ def main():
     trainer = _make_trainer(BATCH)
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
                       trials=1)
+    try:
+        link_mbps = round(link_d2h_mbps(), 1)
+        print(f"[bench] link d2h: {link_mbps} MB/s", file=sys.stderr)
+    except Exception as e:
+        print(f"[bench] link probe failed: {e}", file=sys.stderr)
+        link_mbps = None
     sample_gps = phase("sampling", lambda: bench_sampling(trainer),
                        trials=5, min_trials=3, phase_budget=120)
     pipeline_gps = phase("pipeline", lambda: bench_pipeline(trainer),
@@ -557,6 +583,7 @@ def main():
             "genomes_minimized_per_sec": rnd(minimize_gps, 2),
             "genomes_sampled_and_minimized_per_sec": rnd(pipeline_gps, 2),
             "sink_fresh_alloc_gbps": sink_gbps,
+            "link_d2h_mbps": link_mbps,
             "variance": variance,
             "bench_wall_s": round(time.perf_counter() - t_start, 1),
         },
