@@ -257,43 +257,49 @@ def sample_and_minimize(
         stats.sample_s += time.perf_counter() - t0
         return packed
 
-    if not overlap:
-        # Serial schedule: the accelerator client is quiescent while the
-        # native workers own every host core.
-        for span in spans:
-            lo, hi, dev = submit(span)
-            minimize_chunk(drain(dev, lo, hi), lo, hi)
-    else:
-        it = iter(spans)
-        pending: deque = deque()
-        for _ in range(min(max(1, prefetch), len(spans))):
-            pending.append(submit(next(it)))
+    try:
+        if not overlap:
+            # Serial schedule: the accelerator client is quiescent while the
+            # native workers own every host core.
+            for span in spans:
+                lo, hi, dev = submit(span)
+                minimize_chunk(drain(dev, lo, hi), lo, hi)
+        else:
+            it = iter(spans)
+            pending: deque = deque()
+            for _ in range(min(max(1, prefetch), len(spans))):
+                pending.append(submit(next(it)))
 
-        # Three-way overlap: the TPU decodes chunk k+P (async dispatch), the
-        # main thread drains chunk k+1's device->host transfer, and ONE worker
-        # thread runs chunk k's native convert+minimize (the C++ call releases
-        # the GIL; a single ordered worker keeps FASTA appends sequential).
-        from concurrent.futures import ThreadPoolExecutor
+            # Three-way overlap: the TPU decodes chunk k+P (async dispatch),
+            # the main thread drains chunk k+1's device->host transfer, and
+            # ONE worker thread runs chunk k's native convert+minimize (the
+            # C++ call releases the GIL; a single ordered worker keeps FASTA
+            # appends sequential).
+            from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=1) as pool:
-            futures = deque()
-            while pending:
-                lo, hi, dev = pending.popleft()
-                nxt = next(it, None)
-                if nxt is not None:
-                    pending.append(submit(nxt))
+            with ThreadPoolExecutor(max_workers=1) as pool:
+                futures = deque()
+                while pending:
+                    lo, hi, dev = pending.popleft()
+                    nxt = next(it, None)
+                    if nxt is not None:
+                        pending.append(submit(nxt))
 
-                packed = drain(dev, lo, hi)
-                futures.append(pool.submit(minimize_chunk, packed, lo, hi))
-                while len(futures) > 2:  # bound buffered chunks
-                    futures.popleft().result()
-            for f in futures:
-                f.result()
-
-    # stream-end truncate: removes the stale tail a larger previous output
-    # would leave (chunks are grow-only so its pages stayed recyclable)
-    with open(shard_path, "r+b") as tf:
-        tf.truncate(next_off)
+                    packed = drain(dev, lo, hi)
+                    futures.append(pool.submit(minimize_chunk, packed, lo, hi))
+                    while len(futures) > 2:  # bound buffered chunks
+                        futures.popleft().result()
+                for f in futures:
+                    f.result()
+    finally:
+        # Stream-end truncate, ALSO on failure: chunks are grow-only (page
+        # recycling), so without this a crashed stream over a larger
+        # previous output would leave that run's stale records beyond the
+        # completed prefix — a plausible-looking but wrong FASTA. next_off
+        # only advances past fully-written chunks, so truncating to it
+        # leaves a valid prefix on error and the exact output on success.
+        with open(shard_path, "r+b") as tf:
+            tf.truncate(next_off)
 
     if sharded:
         barrier.mark_shard_done(shard_path)

@@ -241,3 +241,35 @@ def test_pipeline_rewrite_over_larger_previous_output(setup, tmp_path):
                        if not l.startswith("# Generated on")]
     assert strip(out) == strip(fresh)
     assert out.read_text().count(">") == 6
+
+
+def test_pipeline_failure_leaves_no_stale_tail(setup, tmp_path, monkeypatch):
+    """A stream that fails mid-way over a LARGER previous output must not
+    leave the old run's records beyond the completed prefix (the in-place
+    rewrite is grow-only; the stream-end truncate also runs on failure)."""
+    sampler, engine, cols, essential_set = setup
+    out = tmp_path / "crash.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 15, str(out),
+                        key=jax.random.key(8), chunk_size=4,
+                        process_index=0, process_count=1)
+    size15 = out.stat().st_size
+    assert out.read_text().count(">") == 15
+
+    calls = {"n": 0}
+    orig = engine.minimize_packed_to_fasta
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected chunk failure")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine, "minimize_packed_to_fasta", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sample_and_minimize(sampler, engine, cols, essential_set, 15,
+                            str(out), key=jax.random.key(8), chunk_size=4,
+                            process_index=0, process_count=1)
+    monkeypatch.undo()
+    text = out.read_text()
+    assert text.count(">") == 4  # exactly the one completed chunk
+    assert out.stat().st_size < size15  # stale tail is gone
