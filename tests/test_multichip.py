@@ -33,7 +33,7 @@ def test_eight_devices_available():
     assert len(jax.devices()) == 8
 
 
-@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 2)])
+@pytest.mark.parametrize("data,model", [(8, 1), (4, 2), (2, 2), (2, 4)])
 def test_sharded_training_matches_single_device(data, model):
     train_x, val_x = _data()
 

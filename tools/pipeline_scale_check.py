@@ -29,7 +29,6 @@ import ctypes
 import os
 import resource
 import sys
-import tempfile
 import threading
 import time
 
@@ -177,7 +176,8 @@ def main():
                    "--chunk-size", str(args.chunk)])
     assert rc == 0, "warmup failed"
     captured.clear()
-    os.remove(out)
+    # keep the warmup output: the timed run rewrites it in place, recycling
+    # its materialized pages (native writer write_base mode)
 
     # steady-state gate (bench.py::_settle_native): the warmup's remote
     # compile degrades this VM's effective CPU for tens of seconds after it
