@@ -657,13 +657,16 @@ def process_sharded(
         return None
     # host 0 merges after the sentinel barrier — every shard is fully written
     # and fsync'd before any shard is read (shards on shared fs)
+    import shutil
+
     shard_paths = barrier.wait_for_shards(output_file, pc)
-    with open(output_file, "w") as out:
-        out.write(f"# Minimized genomes generated using model: {model_name}\n")
-        out.write(f"# Total genomes: {n}\n")
-        out.write(f"# Generated on: {np.datetime64('now')}\n")
+    with open(output_file, "wb") as out:
+        out.write(f"# Minimized genomes generated using model: {model_name}\n"
+                  f"# Total genomes: {n}\n"
+                  f"# Generated on: {np.datetime64('now')}\n".encode())
         for sp in shard_paths:
-            with open(sp) as f:
-                out.write(f.read())
+            # streamed: shards are tens of GB at north-star scale
+            with open(sp, "rb") as f:
+                shutil.copyfileobj(f, out, length=16 << 20)
     barrier.clear_sentinels(output_file, pc)
     return output_file

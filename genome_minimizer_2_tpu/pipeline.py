@@ -308,15 +308,20 @@ def sample_and_minimize(
     if sharded and merge and pi == 0:
         # sentinel barrier: every host's shard is complete before merging —
         # a straggler host must not produce a truncated FASTA
+        import shutil
+
         shard_paths = barrier.wait_for_shards(output_file, pc)
-        with open(output_file, "w") as out:
+        with open(output_file, "wb") as out:
             if write_header:
-                out.write(f"# Minimized genomes generated using model: {model_name}\n")
-                out.write(f"# Total genomes: {num_samples}\n")
-                out.write(f"# Generated on: {np.datetime64('now')}\n")
+                out.write(
+                    f"# Minimized genomes generated using model: "
+                    f"{model_name}\n# Total genomes: {num_samples}\n"
+                    f"# Generated on: {np.datetime64('now')}\n".encode())
             for sp in shard_paths:
-                with open(sp) as f:
-                    out.write(f.read())
+                # streamed copy: a shard at north-star scale is tens of GB —
+                # f.read() would materialize it wholesale
+                with open(sp, "rb") as f:
+                    shutil.copyfileobj(f, out, length=16 << 20)
         barrier.clear_sentinels(output_file, pc)
     logger.info("pipeline: %d genomes in %.2fs (%.1f/s) — sample %.2fs, "
                 "convert+minimize %.2fs", stats.genomes, stats.total_s,
