@@ -410,7 +410,13 @@ def sink_alloc_gbps(size_mb: int = 64) -> float:
     bench's trial outputs are page-recycled so the recorded rates are
     weather-immune, but unbounded production streams (e.g. a 100k-genome
     run) are sink-bound under bad weather — recording the weather makes
-    any such number interpretable."""
+    any such number interpretable.
+
+    NB: this is a BURST probe (64 MB). One-way sustained allocation decays
+    token-bucket-like to a ~0.10-0.13 GB/s floor within ~2 GB regardless of
+    the burst reading; a steady alloc+free cycle (the hole-punched 100k
+    stream) sustains ~0.5 GB/s (BASELINE.md round 4). Treat readings
+    ≳1 GB/s as "bucket currently has credit", not sustained bandwidth."""
     buf = bytearray(1 << 20)
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     p = os.path.join(outdir, ".bench_sink_probe")
