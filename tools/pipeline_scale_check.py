@@ -66,18 +66,24 @@ class HolePuncher(threading.Thread):
         self._sweep()
 
     def _sweep(self):
+        # never die silently: a dead puncher means the stream fills
+        # /dev/shm (~300 GB logical at 100k) and the run ENOSPCs late
         try:
             size = os.stat(self.path).st_size
         except FileNotFoundError:
             return
         keep_from = max(0, size - self.window) & ~0xFFF  # 4k-align
         if keep_from > self.punched:
-            fd = os.open(self.path, os.O_RDWR)
             try:
-                _punch(fd, self.punched, keep_from - self.punched)
-            finally:
-                os.close(fd)
-            self.punched = keep_from
+                fd = os.open(self.path, os.O_RDWR)
+                try:
+                    _punch(fd, self.punched, keep_from - self.punched)
+                finally:
+                    os.close(fd)
+                self.punched = keep_from
+            except OSError as e:
+                print(f"[scale] puncher error (will retry): {e}",
+                      file=sys.stderr, flush=True)
 
 
 def build_tree(tmp: str) -> str:
