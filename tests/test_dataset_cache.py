@@ -73,3 +73,23 @@ def test_gene_vocab_zero_csv_parse_when_cached(synth_root, monkeypatch):
     for p in (pa + ".cache.npz", pa + ".vocab.npz"):
         if os.path.exists(p):
             os.remove(p)
+
+
+def test_gene_vocab_preserves_duplicates_and_order(tmp_path):
+    """The real dataset can contain duplicate gene names; dedupe belongs to
+    the converter (first-occurrence, binary_converter.py semantics), so the
+    vocab loader must return the raw CSV index order including duplicates —
+    on the cold index-read path AND through the .vocab.npz cache."""
+    csv = tmp_path / "pa.csv"
+    csv.write_text(
+        ",s1,s2\n"
+        "Lineage,1,2\n"
+        "geneB,1,0\n"
+        "geneA,0,1\n"
+        "geneB,1,1\n"   # duplicate name, different row
+        "geneC,0,0\n")
+    expect = np.array(["geneB", "geneA", "geneB", "geneC"], dtype=object)
+    v_cold = D.load_gene_vocab(str(csv))
+    np.testing.assert_array_equal(v_cold, expect)
+    v_warm = D.load_gene_vocab(str(csv))  # from .vocab.npz
+    np.testing.assert_array_equal(v_warm, expect)
