@@ -121,15 +121,16 @@ def sample_and_minimize(
     serial per chunk — decode+transfer, then minimize while the device is
     idle (a measurement/debug mode).
 
-    ``native_threads``: worker threads for the native minimize per chunk
-    (0 = every core). ``None`` resolves to cores-1 under overlap (min 1):
-    the accelerator client's service threads need a core while device work
-    is in flight, and the interval sweep is memory-bandwidth-bound, so
-    ceding one core costs ~nothing. Measured on the 2-core rig
-    (tools/probe_pipeline_stability.py, round 3, 1024 genomes x4 trials):
-    overlap+cores-1 median 601/s vs 128-212/s for overlap+all-cores (the
-    round-2 default — the BENCH_r02 17x-spread collapse) and 326/s for
-    serial+all-cores (2 threads gain nothing over 1: memory-bound).
+    ``native_threads``: worker threads for the native minimize per chunk;
+    ``None``/0 = every core. Round 3 measured all-cores COLLAPSING under
+    overlap (128-212/s vs 601/s at cores-1) and defaulted to cores-1 — but
+    round 4 root-caused that collapse to the host's page-allocation
+    pathology (kernel-serialized fault storms, BASELINE.md), not to CPU
+    contention with the accelerator client. With the in-place rewrite
+    (resident pages), the same A/B inverts: 2 workers 1,412-1,539/s and
+    all-cores 1,515-1,668/s vs 991-1,066/s at 1 worker (2048 genomes x3
+    trials, settled) — the sweep scales with cores once the kernel is out
+    of the way. Default: all cores.
     """
     key = jax.random.key(0) if key is None else key
     pi = jax.process_index() if process_index is None else process_index
@@ -219,11 +220,7 @@ def sample_and_minimize(
         return lo, hi, dev
 
     if native_threads is None:
-        try:
-            n_cores = len(os.sched_getaffinity(0))
-        except AttributeError:  # non-Linux
-            n_cores = os.cpu_count() or 1
-        native_threads = max(1, n_cores - 1) if overlap else 0
+        native_threads = 0  # all cores — A/B-measured default (docstring)
 
     def _record_bytes(lens, lo):
         # '>' + prefix + '_' + idx + '\n' + seq + '\n' per record
