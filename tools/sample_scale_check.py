@@ -54,8 +54,9 @@ def main():
 
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     t0 = time.time()
+    save_dtype = os.environ.get("GM2_SAVE_DTYPE", "float32")
     rc = cli.main(["--mode", "sample", "--model-path", ck,
-                   "--num-samples", str(N)])
+                   "--num-samples", str(N), "--save-dtype", save_dtype])
     wall = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     outdir = os.path.join(tmp, "models", "v0_model", "sampling_results")
