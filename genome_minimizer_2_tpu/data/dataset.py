@@ -144,7 +144,11 @@ def load_matrix(
                 src_mtimes = z["src_mtimes"]
                 current = np.array([os.path.getmtime(dataset_path),
                                     os.path.getmtime(phylogroups_path)])
-                if np.allclose(src_mtimes, current):
+                # exact mtime equality: float64 round-trips getmtime exactly,
+                # and a RELATIVE tolerance at epoch-scale values (~1.8e9 s)
+                # would accept ~hours of drift — a dataset regenerated within
+                # that window would silently serve a stale cache
+                if np.array_equal(src_mtimes, current):
                     logger.info("Loading dataset from cache: %s", cache_path)
                     return GenomeMatrix(
                         data=z["data"].astype(np.float32),
@@ -228,7 +232,8 @@ def load_gene_vocab(dataset_path: str | None = None,
                 continue
             try:
                 with np.load(path, allow_pickle=True) as z:
-                    if np.isclose(float(z[mt_key][idx]), mtime):
+                    # exact match — see the load_matrix mtime note above
+                    if float(z[mt_key][idx]) == mtime:
                         logger.info("Gene vocab from cache: %s", path)
                         return z["genes"].astype(object)
             except Exception as e:

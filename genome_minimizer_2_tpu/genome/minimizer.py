@@ -203,6 +203,20 @@ class MinimizerEngine:
                                            append=append, use_native=False,
                                            write_base=write_base)
 
+    @staticmethod
+    def record_bytes(lens: np.ndarray, start_index: int = 0) -> int:
+        """Exact byte size of the FASTA records a ``minimize_*_to_fasta``
+        batch writes: '>' + prefix + '_' + str(idx+1) + '\\n' + seq + '\\n'
+        per record (native/gm2min.cpp minimize_to_fasta_impl's offset
+        arithmetic, and the Python fallback's). Single source of truth for
+        stream-offset bookkeeping — the pipeline advances its write offset
+        with this and asserts it against the actual file size after every
+        chunk, so any drift between this arithmetic and the writers is a
+        loud error, not silent mid-file corruption."""
+        lens = np.asarray(lens)
+        ids = sum(len(str(start_index + j + 1)) for j in range(lens.size))
+        return int(lens.sum()) + lens.size * (len(SEQ_ID_PREFIX) + 4) + ids
+
     def drop_masks_from_binary(
         self, binary: np.ndarray, col_idx: np.ndarray, ess: np.ndarray
     ) -> np.ndarray:

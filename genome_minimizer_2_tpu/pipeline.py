@@ -33,7 +33,7 @@ import numpy as np
 
 from .core.prng import draw_latents
 from .genome.converter import dedupe_columns
-from .genome.minimizer import SEQ_ID_PREFIX, MinimizerEngine
+from .genome.minimizer import MinimizerEngine
 from .ops.pallas_kernels import unpack_bits
 from .sample.sampler import Sampler
 
@@ -188,6 +188,12 @@ def sample_and_minimize(
     with open(shard_path, "r+b") as hf:
         hf.write(header)
     next_off = len(header)
+    # grow-only stream invariant: after every chunk the file size must be
+    # exactly max(initial size, our computed end offset) — the native writer
+    # sizes the file to its own offset arithmetic, so this catches any drift
+    # between engine.record_bytes and gm2min.cpp's layout at the first chunk
+    # it happens, instead of silently corrupting stream offsets mid-file
+    size0 = max(os.path.getsize(shard_path), len(header))
 
     latent_dim = sampler.cfg.latent_dim
 
@@ -222,11 +228,6 @@ def sample_and_minimize(
     if native_threads is None:
         native_threads = 0  # all cores — A/B-measured default (docstring)
 
-    def _record_bytes(lens, lo):
-        # '>' + prefix + '_' + idx + '\n' + seq + '\n' per record
-        ids = sum(len(str(j + 1)) for j in range(lo, lo + lens.size))
-        return int(lens.sum()) + lens.size * (len(SEQ_ID_PREFIX) + 4) + ids
-
     def minimize_chunk(arr, lo, hi):
         nonlocal next_off
         t0 = time.perf_counter()
@@ -241,7 +242,13 @@ def sample_and_minimize(
                                                    shard_path, start_index=lo,
                                                    write_base=next_off,
                                                    n_threads=native_threads)
-        next_off += _record_bytes(lens, lo)
+        next_off += engine.record_bytes(lens, start_index=lo)
+        actual = os.path.getsize(shard_path)
+        if actual != max(size0, next_off):
+            raise RuntimeError(
+                f"FASTA stream offset drift at chunk [{lo},{hi}): computed "
+                f"end {next_off}, writer left size {actual} "
+                f"(stream started at {size0})")
         t1 = time.perf_counter()
         stats.minimize_s += t1 - t0
         stats.genomes += hi - lo

@@ -75,6 +75,45 @@ def test_gene_vocab_zero_csv_parse_when_cached(synth_root, monkeypatch):
             os.remove(p)
 
 
+def test_vocab_cache_invalidates_on_small_mtime_drift(tmp_path):
+    """Non-vacuous invalidation (round-4 ADVICE): a dataset REGENERATED with
+    different content but an mtime within ~minutes of the cached one must not
+    be served from the stale vocab cache. (np.isclose's default RELATIVE
+    tolerance at epoch-scale mtimes accepted ~18,000 s of drift — the exact
+    comparison must reject even 60 s.)"""
+    csv = tmp_path / "pa.csv"
+    csv.write_text(",s1\nLineage,1\ngeneA,1\ngeneB,0\n")
+    t0 = 1.8e9
+    os.utime(csv, (t0, t0))
+    v1 = D.load_gene_vocab(str(csv))
+    np.testing.assert_array_equal(v1, np.array(["geneA", "geneB"], object))
+
+    csv.write_text(",s1\nLineage,1\ngeneX,1\ngeneY,0\ngeneZ,1\n")
+    os.utime(csv, (t0 + 60.0, t0 + 60.0))  # inside the old isclose window
+    v2 = D.load_gene_vocab(str(csv))
+    np.testing.assert_array_equal(v2, np.array(["geneX", "geneY", "geneZ"],
+                                               object))
+
+
+def test_matrix_cache_invalidates_on_small_mtime_drift(tmp_path):
+    """Same exactness requirement for the load_matrix .cache.npz
+    (np.allclose had the identical relative-tolerance flaw)."""
+    pa = tmp_path / "pa.csv"
+    ph = tmp_path / "ph.csv"
+    pa.write_text(",s1,s2\nLineage,1,1\ngeneA,1,0\ngeneB,0,1\n")
+    ph.write_text("ID,Phylogroup\nS1,A\nS2,B\n")
+    t0 = 1.8e9
+    os.utime(pa, (t0, t0))
+    os.utime(ph, (t0, t0))
+    m1 = D.load_matrix(str(pa), str(ph), cache=True)
+    assert m1.data.shape == (2, 2)
+
+    pa.write_text(",s1,s2\nLineage,1,1\ngeneA,1,0\ngeneB,0,1\ngeneC,1,1\n")
+    os.utime(pa, (t0 + 60.0, t0 + 60.0))
+    m2 = D.load_matrix(str(pa), str(ph), cache=True)
+    assert m2.data.shape == (2, 3)  # regenerated, not the stale 2-gene cache
+
+
 def test_gene_vocab_preserves_duplicates_and_order(tmp_path):
     """The real dataset can contain duplicate gene names; dedupe belongs to
     the converter (first-occurrence, binary_converter.py semantics), so the

@@ -218,6 +218,32 @@ def test_packed_native_fasta_matches_staged_path(setup, tmp_path):
         assert out.read_bytes() == staged.read_bytes(), label
 
 
+def test_record_bytes_matches_writers(setup, tmp_path):
+    """engine.record_bytes (the pipeline's stream-offset bookkeeping) must
+    equal the actual byte count both FASTA writers produce — the pipeline
+    asserts this per chunk at runtime (round-4 ADVICE: offset drift must be
+    a loud error); this pins the arithmetic against the writers directly,
+    including multi-digit index rollover via start_index."""
+    sampler, engine, cols, essential_set = setup
+    from genome_minimizer_2_tpu.genome import native as N
+    from genome_minimizer_2_tpu.genome.converter import dedupe_columns
+
+    cols_arr, keep_mask = dedupe_columns(np.asarray(cols))
+    col_idx, ess = engine.feature_lookup_packed(cols_arr, keep_mask,
+                                                essential_set)
+    z = np.asarray(jax.random.normal(jax.random.key(12),
+                                     (7, sampler.cfg.latent_dim)))
+    packed = np.asarray(sampler.decode_packed_device(z))[:7]
+    for label, use_native in (("fallback", False), ("native", N.available())):
+        for start in (0, 97):  # 97..104 crosses the 2->3 digit boundary
+            out = tmp_path / f"rb_{label}_{start}.fasta"
+            lens = engine.minimize_packed_to_fasta(
+                packed, col_idx, ess, str(out), start_index=start,
+                use_native=use_native)
+            assert out.stat().st_size == engine.record_bytes(
+                lens, start_index=start), (label, start)
+
+
 def test_pipeline_rewrite_over_larger_previous_output(setup, tmp_path):
     """In-place stream rewrite (round 4): the pipeline writes chunks at
     explicit offsets and truncates once at stream end, so a path holding a

@@ -220,6 +220,11 @@ def main():
     if puncher is not None:
         puncher.stop_evt.set()
         puncher.join()
+    if rc != 0 or not captured:
+        # report the underlying CLI failure instead of masking it with an
+        # IndexError on the (empty) captured-stats list
+        print(f"\n[scale] FAILED: CLI rc={rc}, captured stats: {len(captured)}")
+        sys.exit(1)
     s = captured[-1]
     print(f"\n[scale] rc={rc} n={args.n} wall={wall:.0f}s")
     print(f"[scale] whole-run {s.rate():.1f}/s steady {s.steady_rate():.1f}/s "
