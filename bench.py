@@ -164,9 +164,19 @@ def bench_sampling(trainer, num_samples: int = 4096) -> float:
     bitpack on device, packed bitmasks to host. Warmup uses the SAME
     num_samples — the z-draw is a distinct program per sample count, and on
     this rig's remote-compile service an unwarmed shape costs ~10s inside
-    the first timed trial (the round-2 sampling variance)."""
+    the first timed trial (the round-2 sampling variance).
+
+    Sampling is transfer-bound on this rig (~6.9 KB/genome through the
+    tunneled link, which swings ~2-30+ MB/s session-to-session), so EVERY
+    trial is preceded by a link-bandwidth probe recorded beside its rate
+    (round-4 VERDICT next #2): a 2.6x trial spread with proportional link
+    readings is link weather, visible in the record, not a regression."""
     import jax
 
+    try:
+        link = round(link_d2h_mbps(size_mb=8), 1)
+    except Exception:
+        link = None
     s = _get_sampler(trainer, 1024)
     if not getattr(s, "_bench_warm", False):
         s.sample_packed(jax.random.key(0), num_samples)  # warmup/compile
@@ -175,7 +185,9 @@ def bench_sampling(trainer, num_samples: int = 4096) -> float:
     packed, _ = s.sample_packed(jax.random.key(1), num_samples)
     dt = time.perf_counter() - t0
     assert packed.shape == (num_samples, (INPUT_DIM + 7) // 8)
-    return num_samples / dt
+    rate = num_samples / dt
+    SAMPLING_TRIALS.append({"rate": round(rate, 1), "link_mbps": link})
+    return rate
 
 
 # Measured on the pure-CPU minimize phase (before any device work starts):
@@ -183,10 +195,16 @@ def bench_sampling(trainer, num_samples: int = 4096) -> float:
 # settle gate's threshold derives from it instead of a hard-coded rig
 # constant (round-3 VERDICT weak #4 / advisor #2).
 _NATIVE_HEALTHY_RATE: float | None = None
+# all-cores variant: the minimize phase's per-trial health flag. A 1-thread
+# sweep cannot see the loss of the OTHER vCPU (the host multiplexing this
+# 2-core VM is the mechanism behind the phase's multi-x trial spread), so
+# the per-trial probe runs the production thread count and is judged
+# against this rate.
+_NATIVE_HEALTHY_RATE_MT: float | None = None
 
 
 def _calibrate_native(engine) -> None:
-    global _NATIVE_HEALTHY_RATE
+    global _NATIVE_HEALTHY_RATE, _NATIVE_HEALTHY_RATE_MT
     if _NATIVE_HEALTHY_RATE is not None:
         return
     import numpy as np
@@ -195,18 +213,24 @@ def _calibrate_native(engine) -> None:
     drop = (rng.rand(32, engine.gene_names.size) < 0.5).astype(np.uint8)
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_calib.fasta")
-    rates = []
+    rates, rates_mt = [], []
     try:
         for _ in range(3):
             t0 = time.perf_counter()
             engine.minimize_drop_to_fasta(drop, out, n_threads=1)
             rates.append(32 / (time.perf_counter() - t0))
+        for _ in range(3):
+            t0 = time.perf_counter()
+            engine.minimize_drop_to_fasta(drop, out)  # all cores
+            rates_mt.append(32 / (time.perf_counter() - t0))
     finally:
         if os.path.exists(out):
             os.remove(out)
     _NATIVE_HEALTHY_RATE = float(sorted(rates)[len(rates) // 2])
+    _NATIVE_HEALTHY_RATE_MT = float(sorted(rates_mt)[len(rates_mt) // 2])
     print(f"[bench] native calibration: healthy sweep {_NATIVE_HEALTHY_RATE:.0f}"
-          " genomes/s (1 thread)", file=sys.stderr)
+          f" genomes/s (1 thread), {_NATIVE_HEALTHY_RATE_MT:.0f} (all cores)",
+          file=sys.stderr)
 
 
 def bench_minimizer(n_genomes: int = 128) -> float:
@@ -229,25 +253,55 @@ def bench_minimizer(n_genomes: int = 128) -> float:
     drop = (rng.rand(n_genomes, n_genes) < rng.rand(n_genomes)[:, None]).astype(np.uint8)
     outdir = "/dev/shm" if os.path.isdir("/dev/shm") else str(REPO)
     out = os.path.join(outdir, ".bench_min.fasta")
-    engine.minimize_drop_to_fasta(drop[:2], out)  # warmup (builds native lib)
-    _calibrate_native(engine)  # pure-CPU phase = the healthy-host reference
     # The output file is intentionally NOT removed between trials — the
     # native writer rewrites in place, reusing the materialized pages, so
     # repeated trials measure the minimizer rather than this host's page-
     # allocation weather (fresh-alloc measured 0.03-4.5 GB/s run-to-run;
     # resident stores are stable at ~5 GB/s — BASELINE.md round 4). The
-    # first call pays the allocation once, untimed.
+    # first call pays the allocation once, untimed. The 2-genome native-lib
+    # warmup must also run ONCE only: through round 4 it ran before every
+    # trial, and its fresh-mode exact-size ftruncate FREED the 404 MB of
+    # kept pages, so every timed trial silently repaid the full allocation
+    # (~0.17 s of faults at healthy weather, seconds under bad weather) —
+    # the actual mechanism behind the phase's recorded 3x spreads and
+    # degraded-run 131/s minimums.
+    calib_out = os.path.join(outdir, ".bench_min_calib.fasta")
     if out not in _CLEANUP:
+        engine.minimize_drop_to_fasta(drop[:2], out)  # builds the native lib
+        _calibrate_native(engine)  # pure-CPU phase = healthy-host reference
         engine.minimize_drop_to_fasta(drop, out)  # materialize pages once
+        engine.minimize_drop_to_fasta(drop[:32], calib_out)  # calib file too
         _CLEANUP.add(out)
+        _CLEANUP.add(calib_out)
+    # per-trial host-health annotation (round-4 VERDICT next #2): one
+    # single-thread calibration sweep right before the timed trial, judged
+    # against the healthy-host rate measured at phase start — a trial taken
+    # inside a host-degradation window is tagged settled=False in the
+    # record instead of silently widening the spread. The sweep gets its
+    # OWN kept output file: writing into the trial file would fresh-mode
+    # truncate it to 32 genomes and free the pages the trial recycles.
+    t0 = time.perf_counter()
+    engine.minimize_drop_to_fasta(drop[:32], calib_out)  # production threads
+    calib = 32 / (time.perf_counter() - t0)
+    settled = bool(_NATIVE_HEALTHY_RATE_MT
+                   and calib >= 0.5 * _NATIVE_HEALTHY_RATE_MT)
     t0 = time.perf_counter()
     engine.minimize_drop_to_fasta(drop, out)
     dt = time.perf_counter() - t0
-    return n_genomes / dt
+    rate = n_genomes / dt
+    MINIMIZE_TRIALS.append({"rate": round(rate, 2), "settled": settled,
+                            "calib_rate": round(calib, 1)})
+    return rate
 
 
 # files kept across trials for page recycling; removed before the JSON line
 _CLEANUP: set = set()
+
+# per-trial annotations for the JSON record (round-4 VERDICT next #2: the
+# pipeline got per-trial settle/weather context in r3/r4; sampling and
+# minimize now carry the same)
+SAMPLING_TRIALS: list = []
+MINIMIZE_TRIALS: list = []
 
 
 def _settle_native(engine, budget_s: float = 75.0) -> tuple[float, bool]:
@@ -463,7 +517,12 @@ def main():
         Host-sensitive phases (native minimize, transfer-bound sampling,
         the pipeline) share this 2-core host with the TPU client's service
         threads, so single trials can swing several-fold — median-of-n>=3
-        is the only defensible record."""
+        is the only defensible record. When a phase's max/min exceeds 1.5
+        within its budget, up to 3 TOP-UP trials run beyond ``trials``
+        (round-4 VERDICT next #2) so the median sits on a larger sample
+        exactly when the host is noisy; the spread stays in the record
+        either way, with per-trial weather annotations where the phase
+        provides them."""
         if only_set is not None and name not in only_set:
             return None
         vals = phase_vals.setdefault(name, [])
@@ -474,15 +533,21 @@ def main():
             return None
         target = len(vals) + trials
 
+        def dispersed():
+            return len(vals) >= 2 and min(vals) > 0 \
+                and max(vals) / min(vals) > 1.5
+
         def may_continue():
             if len(vals) < min_trials:
                 return True  # guaranteed sample size, budgets notwithstanding
-            if len(vals) >= target:
-                return False
             if time.perf_counter() - t_start > budget:
                 return False
-            return (phase_budget is None
-                    or time.perf_counter() - t0 <= phase_budget)
+            over_phase = (phase_budget is not None
+                          and time.perf_counter() - t0 > phase_budget)
+            if len(vals) < target:
+                return not over_phase
+            # dispersion top-up: widen the sample while the spread is > 1.5x
+            return len(vals) < target + 3 and dispersed() and not over_phase
 
         try:
             while may_continue():
@@ -537,14 +602,14 @@ def main():
     trainer_8192 = _make_trainer(8192)
     train_eps_8192 = phase("train_bs8192",
                            lambda: bench_training(trainer_8192, 32768),
-                           trials=2, min_trials=1, phase_budget=120)
+                           trials=3, min_trials=1, phase_budget=120)
     # top the headline train sample up to n=3 with leftover budget
     train_eps = phase("train_bs32", lambda: bench_training(trainer, N_TRAIN),
                       trials=2, min_trials=0, phase_budget=120) or train_eps
     trainer_256 = _make_trainer(256)
     train_eps_256 = phase("train_bs256",
                           lambda: bench_training(trainer_256, N_TRAIN),
-                          trials=2, min_trials=0, phase_budget=60)
+                          trials=3, min_trials=0, phase_budget=60)
 
     base_eps = baseline.get("examples_per_sec")
     rnd = lambda v, p=1: round(v, p) if v is not None else None
@@ -555,6 +620,16 @@ def main():
     for f in _CLEANUP:
         if os.path.exists(f):
             os.remove(f)
+    # per-trial weather annotations for the host/link-sensitive phases
+    # (round-4 VERDICT next #2): a wide spread must be attributable to a
+    # recorded cause (per-trial link reading, per-trial settle flag), not
+    # left as an unexplained multi-x dispersion in the driver record
+    if SAMPLING_TRIALS and "sampling" in variance:
+        variance["sampling"]["trials"] = SAMPLING_TRIALS
+    if MINIMIZE_TRIALS and "minimize" in variance:
+        variance["minimize"]["trials"] = MINIMIZE_TRIALS
+        variance["minimize"]["settled"] = all(
+            t["settled"] for t in MINIMIZE_TRIALS)
     if PIPELINE_TRIALS and "pipeline" in variance:
         # headline key = steady-state median (declared semantics); the
         # whole-run rate and per-trial settle outcomes ride beside it so

@@ -63,6 +63,96 @@ def dedupe_columns(cols: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return cols[keep_mask], keep_mask
 
 
+def save_packed_npz(packed: np.ndarray, input_dim: int, path: str) -> None:
+    """Save sampled genomes as the PACKED bitmask artifact: an .npz holding
+    ``packed`` (N, ceil(D/8)) uint8 (little bit order over the dataset
+    columns — the sampler's on-device format) and ``input_dim``. ~32x
+    smaller than the reference's float32 .npy save surface
+    (/root/reference/main.py:433-435): 0.69 GB vs 22 GB at the 100k
+    north-star scale. Converters ingest it directly without a dense
+    expansion (:func:`iter_mask_chunks`)."""
+    np.savez(path, packed=np.ascontiguousarray(packed, np.uint8),
+             input_dim=np.int64(input_dim))
+
+
+def _open_packed_npz(masks_path: str):
+    """Return (packed_array, input_dim) when ``masks_path`` is a packed-npz
+    artifact, else None."""
+    if not str(masks_path).endswith(".npz"):
+        return None
+    with np.load(masks_path, allow_pickle=False) as z:
+        if "packed" not in z.files or "input_dim" not in z.files:
+            raise ValueError(
+                f"{masks_path}: .npz without 'packed'/'input_dim' keys is "
+                "not a samples artifact")
+        return z["packed"], int(z["input_dim"])
+
+
+def iter_mask_chunks(masks_npy_path: str, chunk_size: int):
+    """Yield (dense row chunk) arrays from ANY supported masks artifact with
+    bounded memory; returns total row count upfront.
+
+    Supported inputs: packed .npz (``save_packed_npz`` — unpacked per chunk,
+    never whole), 2-D numeric .npy (memory-mapped), object/ragged .npy
+    (pickle loads whole — inherent to the format — but dense conversion is
+    chunked), 1-D numeric .npy (single row). Returns ``(n_rows, width,
+    iterator)``."""
+    from ..ops.pallas_kernels import unpack_bits
+
+    chunk_size = int(chunk_size) if chunk_size and chunk_size > 0 else 0
+
+    packed = _open_packed_npz(masks_npy_path)
+    if packed is not None:
+        arr, input_dim = packed
+        n = arr.shape[0]
+        step = chunk_size or max(1, n)
+
+        def gen_packed():
+            for lo in range(0, n, step):
+                yield unpack_bits(arr[lo:lo + step], input_dim)
+
+        return n, input_dim, gen_packed()
+
+    if chunk_size:
+        try:
+            mm = np.load(masks_npy_path, mmap_mode="r")
+            if mm.ndim == 2:
+                def gen_mm():
+                    for lo in range(0, len(mm), chunk_size):
+                        yield np.asarray(mm[lo:lo + chunk_size], dtype=float)
+
+                return len(mm), mm.shape[1], gen_mm()
+        except ValueError:  # object/pickled array — not mappable
+            logger.info("masks file is not memory-mappable; loading whole")
+
+    masks = np.load(masks_npy_path, allow_pickle=True)
+    rowwise = (masks.ndim == 1 and len(masks)
+               and isinstance(masks[0], (list, np.ndarray)))
+    if rowwise:
+        # object array of rows: the pickle loads whole (format-inherent),
+        # but the dense float conversion is chunked
+        n = len(masks)
+        width = len(masks[0])
+        step = chunk_size or max(1, n)
+
+        def gen_obj():
+            for lo in range(0, n, step):
+                yield np.stack([np.asarray(r, dtype=float)
+                                for r in masks[lo:lo + step]])
+
+        return n, width, gen_obj()
+    if masks.ndim == 1:
+        masks = masks[None, :]
+    n = masks.shape[0]
+    step = chunk_size or max(1, n)
+
+    def gen_dense():
+        for lo in range(0, n, step):
+            yield np.asarray(masks[lo:lo + step], dtype=float)
+
+    return n, masks.shape[1], gen_dense()
+
+
 def load_masks(masks_npy_path: str) -> np.ndarray:
     """Load a masks .npy with the reference's shape coercions
     (binary_converter.py:39-45)."""
@@ -82,17 +172,23 @@ def _gene_lists_for_chunk(rows: np.ndarray, cols: np.ndarray,
 
     Accepts rows at either the original (pre-dedupe) width or the deduped
     width; returns (lists, per-row gene counts)."""
+    M = _threshold_chunk(rows, len(cols), keep_mask, threshold)
+    return [cols[M[i]].tolist() for i in range(len(M))], M.sum(axis=1)
+
+
+def _threshold_chunk(rows: np.ndarray, n_cols: int, keep_mask: np.ndarray,
+                     threshold: float) -> np.ndarray:
+    """(n, P) boolean presence from a dense chunk at either the original
+    (pre-dedupe) or deduped width."""
     rows = np.asarray(rows, dtype=float)
-    P = len(cols)
-    if rows.shape[1] != keep_mask.size and rows.shape[1] != P:
+    if rows.shape[1] != keep_mask.size and rows.shape[1] != n_cols:
         raise ValueError(
             f"Mask rows have length {rows.shape[1]}, but dataset has "
             f"{keep_mask.size} gene columns."
         )
-    if rows.shape[1] == keep_mask.size and keep_mask.size != P:
+    if rows.shape[1] == keep_mask.size and keep_mask.size != n_cols:
         rows = rows[:, keep_mask]
-    M = rows >= threshold
-    return [cols[M[i]].tolist() for i in range(len(M))], M.sum(axis=1)
+    return rows >= threshold
 
 
 def masks_to_gene_lists(
@@ -127,50 +223,14 @@ def masks_to_gene_lists(
 
     cols, keep_mask = dedupe_columns(cols)
 
-    mm = None
-    if chunk_size and chunk_size > 0:
-        try:
-            mm = np.load(masks_npy_path, mmap_mode="r")
-            if mm.ndim == 1:
-                mm = None  # 1-D needs the coercions in load_masks
-        except ValueError:  # object/pickled array — not mappable
-            logger.info("masks file is not memory-mappable; loading whole")
-            mm = None
-
+    N, _, chunks = iter_mask_chunks(masks_npy_path, chunk_size)
+    logger.info("Masks shape: N=%d samples (chunk=%s)", N, chunk_size or N)
     id_lists: List[List[str]] = []
     size_sum = 0
-    if mm is not None:
-        N = len(mm)
-        logger.info("Masks shape: N=%d samples (streaming, chunk=%d)",
-                    N, chunk_size)
-        for lo in range(0, N, chunk_size):
-            lists, sizes = _gene_lists_for_chunk(
-                mm[lo: lo + chunk_size], cols, keep_mask, threshold)
-            id_lists.extend(lists)
-            size_sum += int(sizes.sum())
-    else:
-        masks = np.load(masks_npy_path, allow_pickle=True)
-        is_rowwise_object = (masks.ndim == 1 and len(masks)
-                             and isinstance(masks[0], (list, np.ndarray)))
-        N = len(masks) if is_rowwise_object or masks.ndim > 1 else 1
-        step = chunk_size if (chunk_size and is_rowwise_object) else N
-        logger.info("Masks shape: N=%d samples%s", N,
-                    f" (object rows, chunk={step})" if is_rowwise_object else "")
-        if is_rowwise_object:
-            # chunk the dense conversion: never stack all rows at once
-            for lo in range(0, N, step):
-                dense = np.stack([np.asarray(r, dtype=float)
-                                  for r in masks[lo: lo + step]])
-                lists, sizes = _gene_lists_for_chunk(dense, cols, keep_mask,
-                                                     threshold)
-                id_lists.extend(lists)
-                size_sum += int(sizes.sum())
-        else:
-            if masks.ndim == 1:
-                masks = masks[None, :]
-            id_lists, sizes = _gene_lists_for_chunk(masks, cols, keep_mask,
-                                                    threshold)
-            size_sum = int(sizes.sum())
+    for rows in chunks:
+        lists, sizes = _gene_lists_for_chunk(rows, cols, keep_mask, threshold)
+        id_lists.extend(lists)
+        size_sum += int(sizes.sum())
 
     if out_ids_npy:
         os.makedirs(os.path.dirname(out_ids_npy) or ".", exist_ok=True)
@@ -222,3 +282,93 @@ def check_essential_genes(
     logger.info("Saved updated samples with essential genes to: %s", out_path)
     print(f"✓ Verified {n_samples} samples | already OK: {n_ok} | fixed: {n_fixed}")
     return out_path
+
+
+def convert_samples_streaming(
+    masks_npy_path: str,
+    cols: Sequence[str],
+    out_ids_npy: str,
+    essential_set: set | None = None,
+    threshold: float = 0.5,
+    chunk_size: int = 1024,
+) -> Tuple[str, str | None, int]:
+    """Bounded-memory convert-samples: both output .npy files are STREAMED.
+
+    Produces the same artifacts as :func:`masks_to_gene_lists` +
+    :func:`check_essential_genes` (load-equal content: per-sample gene lists
+    in column order, then sorted essential-filled unions), but never holds
+    per-row Python lists live — at the 100k north-star scale the staged path
+    carries ~4e8 list-slot pointers per output (3+ GB each, both alive at
+    once), while this path's peak is one chunk of int32 indices plus the
+    pickle writers' vocabulary tables (genome/object_npy.py). Accepts every
+    masks artifact ``iter_mask_chunks`` supports, including the packed .npz
+    (ingested without a dense full-matrix expansion).
+
+    The essential-filled rows are built vectorized over a sorted name DOMAIN
+    (deduped columns ∪ essentials): row bits scatter to domain positions,
+    essentials force-set, and ascending domain order IS ``sorted()`` order —
+    per-row set/sort work (binary_converter.py:106-117) never happens.
+
+    One deliberate deviation from np.save: outputs are always shape (N,)
+    lists. ``np.array(lists, dtype=object)`` silently becomes a 2-D string
+    array in the measure-zero case where every sample has the same gene
+    count; the reference inherits that numpy quirk, we don't.
+
+    Returns ``(out_ids_path, with_essentials_path | None, n_samples)``.
+    """
+    from .object_npy import ObjectListNpyWriter
+
+    cols = np.asarray(cols, dtype=object)
+    logger.info("masks: %s", masks_npy_path)
+    logger.info("Resolved %d gene columns", len(cols))
+    cols, keep_mask = dedupe_columns(cols)
+    names = [str(c) for c in cols]
+
+    N, _, chunks = iter_mask_chunks(masks_npy_path, chunk_size)
+    logger.info("Masks shape: N=%d samples (streaming, chunk=%s)",
+                N, chunk_size or N)
+
+    os.makedirs(os.path.dirname(out_ids_npy) or ".", exist_ok=True)
+    filled_path = None
+    w_filled = None
+    if essential_set is not None:
+        domain = sorted(set(names) | set(essential_set))
+        dom_idx = {g: i for i, g in enumerate(domain)}
+        col_dom = np.fromiter((dom_idx[g] for g in names), np.int64,
+                              count=len(names))
+        e_dom = np.fromiter((dom_idx[g] for g in sorted(essential_set)),
+                            np.int64, count=len(essential_set))
+        base, ext = os.path.splitext(out_ids_npy)
+        filled_path = base + "_with_essentials" + ext
+        w_filled = ObjectListNpyWriter(filled_path, N, domain)
+
+    size_sum = 0
+    n_ok = 0
+    try:
+        with ObjectListNpyWriter(out_ids_npy, N, names) as w_ids:
+            for rows in chunks:
+                M = _threshold_chunk(rows, len(cols), keep_mask, threshold)
+                counts = M.sum(axis=1)
+                w_ids.append_rows(np.nonzero(M)[1], counts)
+                size_sum += int(counts.sum())
+                if w_filled is not None:
+                    B = np.zeros((M.shape[0], len(domain)), bool)
+                    B[:, col_dom] = M
+                    n_ok += int(B[:, e_dom].all(axis=1).sum())
+                    B[:, e_dom] = True
+                    w_filled.append_rows(np.nonzero(B)[1], B.sum(axis=1))
+        if w_filled is not None:
+            w_filled.close()
+    finally:
+        if w_filled is not None and not w_filled._closed:
+            w_filled._f.close()  # error path: don't leak the fd
+
+    logger.info("Saved IDs (NPY): %s", out_ids_npy)
+    print(f"✓ Number of samples processed = {N} | "
+          f"Average gene count = {size_sum / max(N, 1):.1f}")
+    if filled_path is not None:
+        logger.info("Saved updated samples with essential genes to: %s",
+                    filled_path)
+        print(f"✓ Verified {N} samples | already OK: {n_ok} | "
+              f"fixed: {N - n_ok}")
+    return out_ids_npy, filled_path, N

@@ -78,14 +78,23 @@ def parse_arguments(argv=None):
                         help="Number of samples to generate")
     parser.add_argument("--sampling-mode", choices=["default", "focused"],
                         default="default", help="Sampling mode")
-    parser.add_argument("--save-dtype", choices=["float32", "uint8"],
+    parser.add_argument("--save-dtype", choices=["float32", "uint8", "packed"],
                         default="float32",
-                        help="dtype of the sample-mode binary_samples .npy "
-                             "(float32 = reference-compatible; uint8 is 4x "
-                             "smaller/faster at 100k scale — converters "
-                             "accept either)")
+                        help="Format of the sample-mode binary_samples "
+                             "artifact (float32 .npy = reference-compatible; "
+                             "uint8 .npy is 4x smaller; 'packed' writes the "
+                             "bitmask .npz directly — ~32x smaller, 0.69 GB "
+                             "at 100k scale — converters accept all three)")
     parser.add_argument("--noise-level", type=float, default=0.1,
                         help="Noise level for focused sampling")
+    parser.add_argument("--no-merge", action="store_true",
+                        help="Pipeline mode, multi-host: keep each host's "
+                             "FASTA shard (output_file.shard{K}) instead of "
+                             "the host-0 serial merge — pod-scale runs can "
+                             "consume per-shard files directly")
+    parser.add_argument("--no-csv", action="store_true",
+                        help="Sample mode: skip the genes x samples CSV "
+                             "(11 GB at the 100k north-star scale)")
     parser.add_argument("--force-reprocess", action="store_true",
                         help="Force reprocessing of essential gene positions")
     parser.add_argument("--seed", type=int, default=0, help="PRNG seed")
@@ -283,13 +292,23 @@ def run_sampling(args) -> bool:
     # (tested in test_sampler.py). float32 (not float64): at 100k x 55k the
     # reference's float64 .npy would be 44 GB; converters accept any dtype.
     with meter.phase("save", args.num_samples):
-        SMP.save_binary_npy_stream(
-            packed, matrix.n_genes,
-            str(output_dir / f"{model_name}_binary_samples_{args.sampling_mode}.npy"),
-            dtype=np.dtype(args.save_dtype))
-        SMP.write_samples_csv_stream(
-            packed, matrix.genes,
-            str(output_dir / f"{model_name}_data_full_samples_df.csv"))
+        if args.save_dtype == "packed":
+            from genome_minimizer_2_tpu.genome.converter import save_packed_npz
+
+            save_packed_npz(
+                packed, matrix.n_genes,
+                str(output_dir
+                    / f"{model_name}_binary_samples_{args.sampling_mode}.npz"))
+        else:
+            SMP.save_binary_npy_stream(
+                packed, matrix.n_genes,
+                str(output_dir
+                    / f"{model_name}_binary_samples_{args.sampling_mode}.npy"),
+                dtype=np.dtype(args.save_dtype))
+        if not args.no_csv:
+            SMP.write_samples_csv_stream(
+                packed, matrix.genes,
+                str(output_dir / f"{model_name}_data_full_samples_df.csv"))
     print("\n✓ SAMPLING COMPLETE!")
     print(f"- Results saved to: {output_dir}")
     print(meter.report())
@@ -416,9 +435,8 @@ def run_binary_converter(args) -> bool:
     """convert-samples mode (reference: main.py:617-645)."""
     from genome_minimizer_2_tpu.data.dataset import load_gene_vocab
     from genome_minimizer_2_tpu.genome.converter import (
-        check_essential_genes,
+        convert_samples_streaming,
         load_essential_set,
-        masks_to_gene_lists,
     )
 
     if not args.genes_path:
@@ -434,13 +452,13 @@ def run_binary_converter(args) -> bool:
     cols = load_gene_vocab()
     print(f"Gene vocabulary: {len(cols)} genes")
 
-    # keep the in-memory lists instead of re-loading the .npy just written
-    # (a full duplicate copy at 100k-genome scale)
-    id_lists = masks_to_gene_lists(masks_npy_path=args.genes_path, cols=cols,
-                                   out_ids_npy=out_path,
-                                   chunk_size=args.chunk_size)
+    # both outputs stream (no per-row Python lists held live — at 100k scale
+    # the staged path holds 3+ GB of list slots per output); packed .npz
+    # masks artifacts are ingested without dense expansion
     essential_set = load_essential_set(directories.paper_essential_genes())
-    filled_path = check_essential_genes(essential_set, id_lists, out_path)
+    out_path, filled_path, _ = convert_samples_streaming(
+        args.genes_path, cols, out_path, essential_set=essential_set,
+        chunk_size=args.chunk_size or 1024)
     print("✓ Binary conversion complete")
     print(f"- Gene lists: {out_path}")
     print(f"- Gene lists (essentials filled): {filled_path}")
@@ -487,8 +505,17 @@ def run_pipeline(args) -> bool:
     stats = sample_and_minimize(
         sampler, engine, cols, essential_set, args.num_samples, out,
         key=jax.random.key(args.seed), chunk_size=args.chunk_size,
-        model_name=args.model_name, transfer=args.transfer)
-    print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
+        model_name=args.model_name, transfer=args.transfer,
+        sampling_mode=args.sampling_mode, noise_level=args.noise_level,
+        merge=not args.no_merge)
+    if args.no_merge and jax.process_count() > 1:
+        from genome_minimizer_2_tpu.parallel.barrier import shard_file
+
+        print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> "
+              f"{shard_file(out, jax.process_index())} (per-shard output, "
+              "no host-0 merge)")
+    else:
+        print(f"\n✓ PIPELINE COMPLETE: {stats.genomes} genomes -> {out}")
     print(f"- Throughput: {stats.rate():.1f} genomes/s whole-run, "
           f"{stats.steady_rate():.1f} genomes/s steady-state "
           f"(sample {stats.sample_s:.1f}s, "

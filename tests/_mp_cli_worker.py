@@ -9,12 +9,14 @@ needs no code changes (round-3 VERDICT next #3; reference runs everything
 through its CLI, /root/reference/main.py:647-715).
 
 Usage: _mp_cli_worker.py <pid> <nproc> <port> <root> <ckpt> <out_fasta> <n>
+       [nomerge]
 """
 
 import os
 import sys
 
 pid, nproc, port, root, ckpt, out_fasta, n = sys.argv[1:8]
+extra = sys.argv[8:]
 os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
 os.environ["JAX_COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
 os.environ["JAX_NUM_PROCESSES"] = nproc
@@ -31,9 +33,12 @@ if pid == "1":
 
     time.sleep(1.0)  # deliberate straggler: host 0's merge must wait
 
-rc = cli.main(["--mode", "pipeline", "--model-path", ckpt,
-               "--num-samples", n, "--output-file", out_fasta,
-               "--model-name", "mpcli", "--chunk-size", "4", "--seed", "9"])
+argv = ["--mode", "pipeline", "--model-path", ckpt,
+        "--num-samples", n, "--output-file", out_fasta,
+        "--model-name", "mpcli", "--chunk-size", "4", "--seed", "9"]
+if "nomerge" in extra:
+    argv.append("--no-merge")
+rc = cli.main(argv)
 
 import jax  # noqa: E402  (safe: main() already initialized)
 

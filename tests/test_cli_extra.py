@@ -100,3 +100,56 @@ def test_sample_save_dtype_uint8(cli_root):
     u8 = np.load(npy)
     assert u8.dtype == np.uint8
     np.testing.assert_array_equal(u8.astype(np.float32), f32)
+
+
+def test_sample_save_dtype_packed_and_no_csv(cli_root):
+    """--save-dtype packed writes the ~32x-smaller bitmask .npz (identical
+    bits), --no-csv skips the genes x samples CSV, and convert-samples
+    ingests the packed artifact with outputs load-equal to the float32
+    path's (round-4 VERDICT next #7)."""
+    import jax
+
+    from genome_minimizer_2_tpu.models import vae
+    from genome_minimizer_2_tpu.ops.pallas_kernels import unpack_bits
+    from genome_minimizer_2_tpu.utils import checkpoint as CKPT
+    from genome_minimizer_2_tpu.utils.config import ExperimentConfig
+
+    assert cli.main(["--mode", "preprocess", "--force-reprocess"]) == 0
+    cfg = ExperimentConfig(hidden_dim=8, latent_dim=2, trainer_version="v3")
+    vcfg = vae.VAEConfig(input_dim=120, hidden_dim=8, latent_dim=2)
+    params, stats = vae.init(vcfg, jax.random.key(6))
+    ck = str(directories.project_root() / "saved_VAE_v3.npz")
+    CKPT.save_checkpoint(ck, params, stats, cfg, extra={"input_dim": 120})
+
+    sdir = directories.project_root() / "models" / "v3_model" / "sampling_results"
+    csv = sdir / "v3_data_full_samples_df.csv"
+    assert cli.main(["--mode", "sample", "--model-path", ck,
+                     "--num-samples", "9"]) == 0
+    f32 = np.load(sdir / "v3_binary_samples_default.npy")
+    assert csv.exists()
+    csv.unlink()
+
+    assert cli.main(["--mode", "sample", "--model-path", ck,
+                     "--num-samples", "9", "--save-dtype", "packed",
+                     "--no-csv"]) == 0
+    assert not csv.exists()
+    npz = sdir / "v3_binary_samples_default.npz"
+    with np.load(npz) as z:
+        assert int(z["input_dim"]) == 120
+        np.testing.assert_array_equal(
+            unpack_bits(z["packed"], 120).astype(np.float32), f32)
+
+    # convert-samples on packed vs float32 input: load-equal outputs
+    outs = {}
+    for label, src in (("f32", sdir / "v3_binary_samples_default.npy"),
+                       ("packed", npz)):
+        out = directories.project_root() / f"ids_{label}.npy"
+        assert cli.main(["--mode", "convert-samples", "--genes-path",
+                         str(src), "--output-file", str(out)]) == 0
+        filled = str(out).replace(".npy", "_with_essentials.npy")
+        outs[label] = (np.load(out, allow_pickle=True),
+                       np.load(filled, allow_pickle=True))
+    for a, b in zip(outs["f32"], outs["packed"]):
+        assert len(a) == len(b) == 9
+        for ra, rb in zip(a, b):
+            assert list(ra) == list(rb)

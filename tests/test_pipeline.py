@@ -218,6 +218,98 @@ def test_packed_native_fasta_matches_staged_path(setup, tmp_path):
         assert out.read_bytes() == staged.read_bytes(), label
 
 
+def _body(path):
+    return path.read_text().partition("# Generated on")[2].split("\n", 1)[1]
+
+
+def test_staged_sample_mode_equals_pipeline_at_same_seed(setup, tmp_path):
+    """The cross-mode seed contract (round-4 VERDICT weak #3 / next #4):
+    --mode sample -> convert-samples -> minimizer must produce byte-identical
+    FASTA to --mode pipeline at the same seed, because BOTH derive
+    z_i = normal(fold_in(key, i)) per global sample index."""
+    sampler, engine, cols, essential_set = setup
+    from genome_minimizer_2_tpu.genome.converter import (
+        check_essential_genes, masks_to_gene_lists)
+
+    key = jax.random.key(21)
+    n = 11
+    out = tmp_path / "pipe.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, n, str(out),
+                        key=key, chunk_size=4, process_index=0,
+                        process_count=1)
+
+    # staged path through the sample-mode public API + converter + minimizer
+    binary, _, _ = sampler.sample(key, n)
+    masks = tmp_path / "masks.npy"
+    np.save(masks, binary.astype(np.float32))
+    ids = str(tmp_path / "ids.npy")
+    lists = masks_to_gene_lists(str(masks), cols, ids)
+    filled = check_essential_genes(set(essential_set), lists, ids)
+    staged = tmp_path / "staged.fasta"
+    engine.minimize_batch_to_fasta(np.load(filled, allow_pickle=True),
+                                   str(staged))
+    assert _body(out) == staged.read_text()
+
+
+def test_focused_pipeline_matches_staged_focused(setup, tmp_path):
+    """Streaming focused mode (round-4 VERDICT next #3): bit-identical to
+    the staged sample_focused_packed -> minimize path at the same key, and
+    chunk-size invariant."""
+    sampler, engine, cols, essential_set = setup
+    from genome_minimizer_2_tpu.genome.converter import dedupe_columns
+
+    key = jax.random.key(31)
+    n = 13
+    cols_arr, keep_mask = dedupe_columns(np.asarray(cols))
+    col_idx, ess = engine.feature_lookup_packed(cols_arr, keep_mask,
+                                                essential_set)
+    packed, _ = sampler.sample_focused_packed(key, n, noise_level=0.25,
+                                              n_probes=16)
+    staged = tmp_path / "staged.fasta"
+    engine.minimize_packed_to_fasta(packed, col_idx, ess, str(staged))
+
+    bodies = []
+    for cs in (4, 9):
+        out = tmp_path / f"focused_{cs}.fasta"
+        stats = sample_and_minimize(sampler, engine, cols, essential_set, n,
+                                    str(out), key=key, chunk_size=cs,
+                                    process_index=0, process_count=1,
+                                    sampling_mode="focused", noise_level=0.25,
+                                    n_probes=16)
+        assert stats.genomes == n
+        bodies.append(_body(out))
+    assert bodies[0] == bodies[1]
+    assert bodies[0] == staged.read_text()
+
+
+def test_focused_pipeline_sharded_merge_matches_single(setup, tmp_path):
+    """Every host derives the same anchor; shard boundaries never change
+    focused results."""
+    sampler, engine, cols, essential_set = setup
+    key = jax.random.key(33)
+    single = tmp_path / "single.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 10, str(single),
+                        key=key, chunk_size=3, process_index=0,
+                        process_count=1, sampling_mode="focused", n_probes=8)
+    merged = tmp_path / "merged.fasta"
+    for pi in (1, 0):  # host 1 first: host 0's merge waits on its sentinel
+        sample_and_minimize(sampler, engine, cols, essential_set, 10,
+                            str(merged), key=key, chunk_size=3,
+                            process_index=pi, process_count=2, merge=(pi == 0),
+                            sampling_mode="focused", n_probes=8)
+    assert single.read_text().splitlines()[3:] == \
+        merged.read_text().splitlines()[3:]
+
+
+def test_pipeline_rejects_unknown_sampling_mode(setup, tmp_path):
+    sampler, engine, cols, essential_set = setup
+    with pytest.raises(ValueError, match="sampling_mode"):
+        sample_and_minimize(sampler, engine, cols, essential_set, 2,
+                            str(tmp_path / "x.fasta"), chunk_size=2,
+                            process_index=0, process_count=1,
+                            sampling_mode="bogus")
+
+
 def test_record_bytes_matches_writers(setup, tmp_path):
     """engine.record_bytes (the pipeline's stream-offset bookkeeping) must
     equal the actual byte count both FASTA writers produce — the pipeline
