@@ -55,8 +55,11 @@ def main():
     rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     t0 = time.time()
     save_dtype = os.environ.get("GM2_SAVE_DTYPE", "float32")
-    rc = cli.main(["--mode", "sample", "--model-path", ck,
-                   "--num-samples", str(N), "--save-dtype", save_dtype])
+    argv = ["--mode", "sample", "--model-path", ck,
+            "--num-samples", str(N), "--save-dtype", save_dtype]
+    if os.environ.get("GM2_NO_CSV"):  # the lean north-star artifact path
+        argv.append("--no-csv")
+    rc = cli.main(argv)
     wall = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     outdir = os.path.join(tmp, "models", "v0_model", "sampling_results")
