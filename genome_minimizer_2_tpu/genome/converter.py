@@ -179,8 +179,16 @@ def _gene_lists_for_chunk(rows: np.ndarray, cols: np.ndarray,
 def _threshold_chunk(rows: np.ndarray, n_cols: int, keep_mask: np.ndarray,
                      threshold: float) -> np.ndarray:
     """(n, P) boolean presence from a dense chunk at either the original
-    (pre-dedupe) or deduped width."""
-    rows = np.asarray(rows, dtype=float)
+    (pre-dedupe) or deduped width.
+
+    Numeric dtypes compare against the threshold directly (the comparison
+    promotes exactly like an up-front float64 cast would) — casting a
+    uint8/packed-unpacked chunk to float64 first would move ~44 GB through
+    the allocator over a 100k-sample conversion for identical results."""
+    rows = np.asarray(rows)
+    if not (np.issubdtype(rows.dtype, np.number)
+            or rows.dtype == np.bool_):
+        rows = np.asarray(rows, dtype=float)
     if rows.shape[1] != keep_mask.size and rows.shape[1] != n_cols:
         raise ValueError(
             f"Mask rows have length {rows.shape[1]}, but dataset has "

@@ -122,6 +122,10 @@ class ObjectListNpyWriter:
             _EMPTY_LIST,                 # the data list (rows appended below)
         ]
         self._f.write(b"".join(parts))
+        # first byte of the row-data region — rows written by equal-vocab
+        # writers are byte-identical regardless of n_rows, so consumers can
+        # prefix-compare data regions across files (tools/convert_scale_check)
+        self.data_start = self._f.tell()
 
         # 5-byte LONG_BINGET token per vocabulary entry, gather-ready
         n = len(names)
@@ -162,12 +166,16 @@ class ObjectListNpyWriter:
         out[starts[nz] + 1] = ord("(")
         out[starts[nz] + lens[nz] - 2] = ord("e")
         if flat_idx.size:
-            # global byte position of each token: row start + 2 + 5*(pos in row)
-            row_of = np.repeat(np.arange(n), counts)
-            within = np.arange(flat_idx.size) - np.repeat(
-                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts)
-            pos = starts[row_of] + 2 + 5 * within
-            out[pos[:, None] + np.arange(5)] = self._tok[flat_idx]
+            # one gather builds the contiguous token stream; each row's
+            # 5·c-byte span is then a single slice copy. (A flat fancy-index
+            # scatter of every token byte position was ~8 bytes of index per
+            # output byte — GBs of transient index arrays per chunk at 100k
+            # scale, measured crawling at ~20 rows/s.)
+            tokens = self._tok[flat_idx].reshape(-1)
+            offs = np.concatenate([[0], np.cumsum(counts)]) * 5
+            for i in np.flatnonzero(counts):
+                s = starts[i] + 2
+                out[s:s + offs[i + 1] - offs[i]] = tokens[offs[i]:offs[i + 1]]
         self._f.write(out.tobytes())
 
     def append_lists(self, lists, name_to_idx) -> None:

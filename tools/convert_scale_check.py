@@ -67,10 +67,16 @@ def main():
     ok = rc == 0 and rss < 4.0
     print(f"[scale] RSS {'OK' if ok else 'EXCEEDED'} (< 4 GB required)")
 
-    # at-scale spot check: staged in-memory conversion of the first rows
-    # must match the streamed outputs row-for-row
+    # At-scale spot check WITHOUT materializing the 100k outputs (np.load
+    # of either would hold ~22 GB of list-slot pointers — the very cost the
+    # streaming writers avoid; a consumer at this scale feeds the minimizer
+    # per-shard or uses pipeline mode): convert the head slice standalone
+    # and byte-compare the row-data regions. Equal-vocab writers emit
+    # byte-identical row bytes regardless of declared n_rows, and the head
+    # rows themselves are verified against the STAGED converter.
     from genome_minimizer_2_tpu.data.dataset import load_gene_vocab
     from genome_minimizer_2_tpu.genome import converter as C
+    from genome_minimizer_2_tpu.genome.object_npy import ObjectListNpyWriter
     from genome_minimizer_2_tpu.utils import directories
 
     k = 64
@@ -79,21 +85,47 @@ def main():
     slice_path = os.path.join(root, ".convert_check_head.npy")
     np.save(slice_path, np.asarray(head, np.uint8))
     cols = load_gene_vocab()
-    ids_head = C.masks_to_gene_lists(slice_path, cols, None)
     ess = C.load_essential_set(directories.paper_essential_genes())
-    got = np.load(out, allow_pickle=True)
-    got_filled = np.load(filled, allow_pickle=True)
-    assert len(got) == len(got_filled) == n_total, (len(got), n_total)
+    head_out = os.path.join(root, ".head_ids.npy")
+    h_out, h_filled, _ = C.convert_samples_streaming(
+        slice_path, cols, head_out, essential_set=ess, chunk_size=k)
+
+    # head rows vs the STAGED (in-memory) converter
+    ids_staged = C.masks_to_gene_lists(slice_path, cols, None)
+    got_head = np.load(h_out, allow_pickle=True)
+    got_filled_head = np.load(h_filled, allow_pickle=True)
     mismatch = 0
-    for i in range(len(ids_head)):
-        if list(got[i]) != ids_head[i]:
+    for i in range(k):
+        if list(got_head[i]) != ids_staged[i]:
             mismatch += 1
-        if list(got_filled[i]) != sorted(set(ids_head[i]) | ess):
+        if list(got_filled_head[i]) != sorted(set(ids_staged[i]) | ess):
             mismatch += 1
-    print(f"[scale] head slice equivalence ({len(ids_head)} rows): "
-          f"{'OK' if mismatch == 0 else f'{mismatch} MISMATCHES'}")
-    os.remove(slice_path)
-    sys.exit(0 if ok and mismatch == 0 else 1)
+
+    def data_start(n_rows, names):
+        probe = os.path.join(root, ".ds_probe.npy")
+        w = ObjectListNpyWriter(probe, n_rows, names)
+        ds = w.data_start
+        w._f.close()
+        os.remove(probe)
+        return ds
+
+    names = [str(c) for c in C.dedupe_columns(np.asarray(cols, object))[0]]
+    domain = sorted(set(names) | set(ess))
+    prefix_ok = True
+    for big, small, vocab in ((out, h_out, names),
+                              (filled, h_filled, domain)):
+        small_bytes = open(small, "rb").read()
+        region = small_bytes[data_start(k, vocab):-3]  # strip TUPLE BUILD STOP
+        with open(big, "rb") as f:
+            f.seek(data_start(n_total, vocab))
+            if f.read(len(region)) != region:
+                prefix_ok = False
+    print(f"[scale] head equivalence: staged rows "
+          f"{'OK' if mismatch == 0 else f'{mismatch} MISMATCHES'}; "
+          f"at-scale data-region prefix {'OK' if prefix_ok else 'MISMATCH'}")
+    for p in (slice_path, h_out, h_filled):
+        os.remove(p)
+    sys.exit(0 if ok and mismatch == 0 and prefix_ok else 1)
 
 
 if __name__ == "__main__":
