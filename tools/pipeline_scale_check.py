@@ -127,6 +127,10 @@ def main():
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--root", default="/tmp/gm2pipescale_tree",
                     help="dataset-tree cache dir (built once, reused)")
+    ap.add_argument("--sampling-mode", choices=["default", "focused"],
+                    default="default",
+                    help="streamed focused mode (probe/anchor once, "
+                         "per-index noise) at north-star scale")
     args = ap.parse_args()
 
     import jax
@@ -179,7 +183,8 @@ def main():
     rc = cli.main(["--mode", "pipeline", "--model-path", ck,
                    "--num-samples", str(4 * args.chunk),
                    "--output-file", out, "--model-name", "v0",
-                   "--chunk-size", str(args.chunk)])
+                   "--chunk-size", str(args.chunk),
+                   "--sampling-mode", args.sampling_mode])
     assert rc == 0, "warmup failed"
     captured.clear()
     # keep the warmup output: the timed run rewrites it in place, recycling
@@ -212,7 +217,8 @@ def main():
     t0 = time.time()
     rc = cli.main(["--mode", "pipeline", "--model-path", ck,
                    "--num-samples", str(args.n), "--output-file", out,
-                   "--model-name", "v0", "--chunk-size", str(args.chunk)])
+                   "--model-name", "v0", "--chunk-size", str(args.chunk),
+                   "--sampling-mode", args.sampling_mode])
     wall = time.time() - t0
     rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     st = os.stat(out)
