@@ -40,6 +40,8 @@ _API = {
     "parse_genbank": "genome.genbank",
     "masks_to_gene_lists": "genome.converter",
     "check_essential_genes": "genome.converter",
+    "convert_samples_streaming": "genome.converter",
+    "save_packed_npz": "genome.converter",
     "sample_and_minimize": "pipeline",
     "IntegratedExperimentRunner": "experiments",
 }

@@ -336,6 +336,21 @@ def test_record_bytes_matches_writers(setup, tmp_path):
                 lens, start_index=start), (label, start)
 
 
+def test_stream_offset_drift_is_a_loud_error(setup, tmp_path, monkeypatch):
+    """If the byte-layout bookkeeping ever diverges from what the writers
+    actually produce, the pipeline must fail at the first drifted chunk
+    (round-4 ADVICE: silent mid-file offset corruption is the failure mode
+    being defended against)."""
+    sampler, engine, cols, essential_set = setup
+    monkeypatch.setattr(
+        type(engine), "record_bytes",
+        staticmethod(lambda lens, start_index=0: int(np.asarray(lens).sum())))
+    with pytest.raises(RuntimeError, match="offset drift"):
+        sample_and_minimize(sampler, engine, cols, essential_set, 6,
+                            str(tmp_path / "drift.fasta"), chunk_size=3,
+                            process_index=0, process_count=1)
+
+
 def test_pipeline_rewrite_over_larger_previous_output(setup, tmp_path):
     """In-place stream rewrite (round 4): the pipeline writes chunks at
     explicit offsets and truncates once at stream end, so a path holding a
