@@ -447,12 +447,22 @@ def link_d2h_mbps(size_mb: int = 24) -> float:
     import numpy as np
 
     n = size_mb * (1 << 20) // 4
-    make = jax.jit(lambda: jnp.zeros((n,), jnp.float32))
+    # cache the jitted producer per size: a fresh lambda per call would
+    # re-trace and round-trip the remote compile service on EVERY per-trial
+    # sampling probe
+    make = _LINK_PROBE_FNS.get(n)
+    if make is None:
+        make = jax.jit(lambda: jnp.zeros((n,), jnp.float32))
+        np.asarray(make())  # compile + warm the transfer path once
+        _LINK_PROBE_FNS[n] = make
     x = make()
-    np.asarray(make())  # warm the transfer path + finish the compute
+    float(x[0])  # finish the compute without timing a full transfer
     t0 = time.perf_counter()
     np.asarray(x)
     return size_mb / (time.perf_counter() - t0)
+
+
+_LINK_PROBE_FNS: dict = {}
 
 
 def sink_alloc_gbps(size_mb: int = 64) -> float:

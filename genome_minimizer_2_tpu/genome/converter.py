@@ -105,7 +105,10 @@ def iter_mask_chunks(masks_npy_path: str, chunk_size: int):
     if packed is not None:
         arr, input_dim = packed
         n = arr.shape[0]
-        step = chunk_size or max(1, n)
+        # never unpack the whole matrix even for chunk_size=0 callers — the
+        # dense expansion (5.5 GB at 100k) is exactly what the packed
+        # artifact exists to avoid
+        step = chunk_size or min(max(1, n), 1024)
 
         def gen_packed():
             for lo in range(0, n, step):
@@ -118,8 +121,11 @@ def iter_mask_chunks(masks_npy_path: str, chunk_size: int):
             mm = np.load(masks_npy_path, mmap_mode="r")
             if mm.ndim == 2:
                 def gen_mm():
+                    # native dtype: _threshold_chunk compares numeric chunks
+                    # directly (a float64 cast here would be ~44 GB of
+                    # allocator traffic over a 100k uint8 artifact)
                     for lo in range(0, len(mm), chunk_size):
-                        yield np.asarray(mm[lo:lo + chunk_size], dtype=float)
+                        yield np.asarray(mm[lo:lo + chunk_size])
 
                 return len(mm), mm.shape[1], gen_mm()
         except ValueError:  # object/pickled array — not mappable
@@ -148,7 +154,7 @@ def iter_mask_chunks(masks_npy_path: str, chunk_size: int):
 
     def gen_dense():
         for lo in range(0, n, step):
-            yield np.asarray(masks[lo:lo + step], dtype=float)
+            yield np.asarray(masks[lo:lo + step])  # native dtype, as above
 
     return n, masks.shape[1], gen_dense()
 

@@ -191,6 +191,16 @@ def sample_and_minimize(
     sharded = pc > 1
     shard_path = barrier.shard_file(output_file, pi) if sharded else output_file
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    if sharded:
+        # a previous --no-merge run leaves its completeness sentinels for
+        # downstream consumers; a NEW stream over the same path must retract
+        # its own stale sentinel BEFORE the in-place rewrite begins, or a
+        # concurrent merger/consumer could read this shard mid-rewrite (new
+        # records up to the current offset + plausible stale tail) as done
+        try:
+            os.remove(shard_path + ".done")
+        except FileNotFoundError:
+            pass
 
     stats = PipelineStats()
     t_start = time.perf_counter()

@@ -1,6 +1,8 @@
 """Streaming pipeline: equivalence with the staged sample->convert->minimize
 path, multi-host shard merge identity, and the CLI mode."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -334,6 +336,40 @@ def test_record_bytes_matches_writers(setup, tmp_path):
                 use_native=use_native)
             assert out.stat().st_size == engine.record_bytes(
                 lens, start_index=start), (label, start)
+
+
+def test_new_shard_stream_retracts_stale_done_sentinel(setup, tmp_path,
+                                                       monkeypatch):
+    """A re-run over a --no-merge output must retract its own stale .done
+    sentinel BEFORE rewriting begins — otherwise a concurrent merger/consumer
+    could read the shard mid-rewrite as complete (review finding, round 5).
+    Proven via an injected mid-stream crash: the sentinel from the previous
+    run is gone even though the new run never finished."""
+    sampler, engine, cols, essential_set = setup
+    out = tmp_path / "nm.fasta"
+    sample_and_minimize(sampler, engine, cols, essential_set, 8, str(out),
+                        key=jax.random.key(40), chunk_size=4,
+                        process_index=0, process_count=2, merge=False)
+    from genome_minimizer_2_tpu.parallel.barrier import shard_file
+
+    sentinel = shard_file(str(out), 0) + ".done"
+    assert os.path.exists(sentinel)
+
+    calls = {"n": 0}
+    orig = engine.minimize_packed_to_fasta
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash")
+        return orig(*a, **k)
+
+    monkeypatch.setattr(engine, "minimize_packed_to_fasta", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sample_and_minimize(sampler, engine, cols, essential_set, 8,
+                            str(out), key=jax.random.key(41), chunk_size=2,
+                            process_index=0, process_count=2, merge=False)
+    assert not os.path.exists(sentinel)  # retracted at stream start
 
 
 def test_stream_offset_drift_is_a_loud_error(setup, tmp_path, monkeypatch):
