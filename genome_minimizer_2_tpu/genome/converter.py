@@ -373,9 +373,15 @@ def convert_samples_streaming(
                     w_filled.append_rows(np.nonzero(B)[1], B.sum(axis=1))
         if w_filled is not None:
             w_filled.close()
-    finally:
+    except BaseException:
+        # leave no plausible-looking partial artifacts behind — a truncated
+        # pickle would surface later as an opaque consumer-side error
         if w_filled is not None and not w_filled._closed:
-            w_filled._f.close()  # error path: don't leak the fd
+            w_filled._f.close()
+        for p in (out_ids_npy, filled_path):
+            if p and os.path.exists(p):
+                os.unlink(p)
+        raise
 
     logger.info("Saved IDs (NPY): %s", out_ids_npy)
     print(f"✓ Number of samples processed = {N} | "

@@ -102,6 +102,30 @@ def test_streaming_without_essentials(masks, tmp_path):
     _assert_rows_equal(ref_ids, np.load(out_p, allow_pickle=True))
 
 
+def test_streaming_failure_leaves_no_partial_artifacts(masks, tmp_path,
+                                                       monkeypatch):
+    src = str(tmp_path / "m.npy")
+    np.save(src, masks)
+    out = str(tmp_path / "s.npy")
+    from genome_minimizer_2_tpu.genome.object_npy import ObjectListNpyWriter
+
+    orig = ObjectListNpyWriter.append_rows
+    calls = {"n": 0}
+
+    def boom(self, *a, **k):
+        calls["n"] += 1
+        if calls["n"] >= 4:
+            raise RuntimeError("injected failure")
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(ObjectListNpyWriter, "append_rows", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        C.convert_samples_streaming(src, COLS, out,
+                                    essential_set=set(ESSENTIALS),
+                                    chunk_size=3)
+    assert not list(tmp_path.glob("s*.npy"))  # no partial pickles remain
+
+
 def test_streaming_sorted_union_semantics(tmp_path):
     """The domain-scatter construction must reproduce sorted(set | set)
     exactly — including essentials absent from the columns and the
