@@ -271,16 +271,16 @@ def test_focused_pipeline_matches_staged_focused(setup, tmp_path):
     engine.minimize_packed_to_fasta(packed, col_idx, ess, str(staged))
 
     bodies = []
-    for cs in (4, 9):
-        out = tmp_path / f"focused_{cs}.fasta"
+    for cs, transfer in ((4, "packed"), (9, "packed"), (5, "feature-bits")):
+        out = tmp_path / f"focused_{cs}_{transfer}.fasta"
         stats = sample_and_minimize(sampler, engine, cols, essential_set, n,
                                     str(out), key=key, chunk_size=cs,
                                     process_index=0, process_count=1,
                                     sampling_mode="focused", noise_level=0.25,
-                                    n_probes=16)
+                                    n_probes=16, transfer=transfer)
         assert stats.genomes == n
         bodies.append(_body(out))
-    assert bodies[0] == bodies[1]
+    assert bodies[0] == bodies[1] == bodies[2]  # chunk- and transfer-invariant
     assert bodies[0] == staged.read_text()
 
 
