@@ -353,7 +353,7 @@ def _settle_native(engine, budget_s: float = 75.0) -> tuple[float, bool]:
     return dt, settled
 
 
-def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
+def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 256,
                    transfer: str = "auto") -> float:
     """End-to-end genomes sampled+minimized/s (the BASELINE.json headline
     secondary metric): streaming pipeline with the flagship model dims and a
@@ -365,8 +365,11 @@ def bench_pipeline(trainer, n_genomes: int = 2048, chunk: int = 128,
     whole-run rate that straddles such a window measures the window, not
     the pipeline (BENCH_r02's 17x spread), while production-scale runs
     amortize it. The whole-run rate is logged per trial alongside. Thread
-    schedule: the production auto default (overlap, one core ceded to the
-    TPU client's service threads — tools/probe_pipeline_stability.py)."""
+    schedule: the production auto default (overlap, all-cores native
+    workers). chunk=256 is the round-5 interleaved A/B optimum at the
+    post-defect-fix rates (medians 1,673 / **1,814** / 1,729 at chunk
+    128/256/512, 3 trials each, all settled — smaller chunks pay more
+    per-chunk fixed cost, larger ones coarsen the overlap granularity)."""
     import jax
     import numpy as np
 
