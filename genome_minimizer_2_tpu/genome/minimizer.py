@@ -664,6 +664,14 @@ def process_sharded(
 
     shard_path = barrier.shard_file(output_file, pi)
     os.makedirs(os.path.dirname(output_file) or ".", exist_ok=True)
+    try:
+        # retract this shard's stale sentinel (e.g. from a previous
+        # merge=False run) before writing — a concurrent merger/consumer
+        # must never read the shard mid-write as complete (pipeline.py has
+        # the same invariant)
+        os.remove(shard_path + ".done")
+    except FileNotFoundError:
+        pass
     engine.minimize_batch_to_fasta(all_lists[lo:hi], shard_path, start_index=lo)
     barrier.mark_shard_done(shard_path)
 
