@@ -545,8 +545,11 @@ def write_samples_to_dataframe(
 # weak #3)
 # ---------------------------------------------------------------------------
 
+# uint8 table: the per-byte lookup then materializes a chunk-sized uint8
+# intermediate instead of int64 (8x less memory traffic — A/B'd 3.9x faster
+# at the 100k x 6,880-byte scale); the row sum still accumulates in int64
 _POPCOUNT8 = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
-                           axis=1).sum(axis=1).astype(np.int64)
+                           axis=1).sum(axis=1).astype(np.uint8)
 
 
 def popcount_rows(packed: np.ndarray, chunk_rows: int = 8192) -> np.ndarray:
@@ -557,7 +560,7 @@ def popcount_rows(packed: np.ndarray, chunk_rows: int = 8192) -> np.ndarray:
     out = np.empty(packed.shape[0], np.int64)
     for lo in range(0, packed.shape[0], chunk_rows):
         hi = min(lo + chunk_rows, packed.shape[0])
-        out[lo:hi] = _POPCOUNT8[packed[lo:hi]].sum(axis=1)
+        out[lo:hi] = _POPCOUNT8[packed[lo:hi]].sum(axis=1, dtype=np.int64)
     return out
 
 
