@@ -165,7 +165,7 @@ class Sampler:
             yield lo, min(lo + self.chunk_size, n)
 
     def _decode_chunked(self, z: np.ndarray, fn, trim: int | None = None,
-                        window: int = 4) -> np.ndarray:
+                        window: int = 4, on_chunk=None) -> np.ndarray:
         """Run fn over fixed-size chunks (padding the tail so only one program
         is compiled), trimming padding and the feature axis to ``trim``
         columns (default: input_dim).
@@ -175,7 +175,13 @@ class Sampler:
         drains chunk k's transfer — on tunneled/multi-host rigs the transfer
         is the sampling bottleneck. The window bounds device-side live
         buffers (matters for the dense-probability decode: a chunk of f32
-        probabilities is ~215 MB at real dims)."""
+        probabilities is ~215 MB at real dims).
+
+        ``on_chunk(lo, hi, arr)`` is called with each drained (trimmed)
+        chunk in order — host-side per-chunk work placed here (analytics,
+        incremental writers) runs while the device decodes and transfers
+        the chunks ahead, i.e. it hides inside the transfer-bound phase
+        instead of serializing after it."""
         from collections import deque
 
         from ..core.dtypes import round_up
@@ -215,7 +221,10 @@ class Sampler:
             if not pending:
                 break
             lo, hi, dev = pending.popleft()
-            outs.append(np.asarray(dev)[: hi - lo, :D])
+            arr = np.asarray(dev)[: hi - lo, :D]
+            if on_chunk is not None:
+                on_chunk(lo, hi, arr)
+            outs.append(arr)
         return np.concatenate(outs, axis=0)
 
     def decode_binary(self, z: np.ndarray) -> np.ndarray:
@@ -356,7 +365,8 @@ class Sampler:
         probs = self._decode_chunked(z, self._decode_probs) if return_probs else None
         return binary, probs, z
 
-    def sample_packed(self, key, num_samples: int) -> Tuple[np.ndarray, np.ndarray]:
+    def sample_packed(self, key, num_samples: int,
+                      on_chunk=None) -> Tuple[np.ndarray, np.ndarray]:
         """Default sampling in PACKED form: (packed uint8 (N, ceil(D/8)), z).
 
         The bounded-memory variant of :meth:`sample` — bit-identical masks
@@ -371,7 +381,8 @@ class Sampler:
         """
         z = self.draw_latents(key, num_samples)
         D = self.cfg.input_dim
-        packed = self._decode_chunked(z, self._decode_packed, trim=(D + 7) // 8)
+        packed = self._decode_chunked(z, self._decode_packed,
+                                      trim=(D + 7) // 8, on_chunk=on_chunk)
         return packed, z
 
     def focused_anchor(self, probe_key, n_probes: int = 100) -> np.ndarray:
@@ -423,7 +434,7 @@ class Sampler:
 
     def sample_focused_packed(
         self, key, num_samples: int, noise_level: float = 0.1,
-        n_probes: int = 100,
+        n_probes: int = 100, on_chunk=None,
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Focused sampling in PACKED form (see :meth:`sample_packed`):
         probe stage identical to :meth:`sample_focused` (same key split, same
@@ -433,7 +444,8 @@ class Sampler:
         noise = self.draw_latents(noise_key, num_samples) * noise_level
         z = z_of_interest + noise
         D = self.cfg.input_dim
-        packed = self._decode_chunked(z, self._decode_packed, trim=(D + 7) // 8)
+        packed = self._decode_chunked(z, self._decode_packed,
+                                      trim=(D + 7) // 8, on_chunk=on_chunk)
         return packed, z
 
     def encode_means(self, x: np.ndarray, batch_size: int = 32) -> np.ndarray:
@@ -564,18 +576,18 @@ def popcount_rows(packed: np.ndarray, chunk_rows: int = 8192) -> np.ndarray:
     return out
 
 
-def count_essential_genes_packed(
-    packed: np.ndarray,
-    essential_gene_positions: Dict[str, List[int]],
-    width: int,
-    chunk_rows: int = 8192,
-) -> np.ndarray:
-    """:func:`count_essential_genes` on PACKED masks: identical semantics
-    (a multi-position gene counts once if ANY position is set, positions >=
-    ``width`` ignored — extras.py:49-87), but the essential-position bits are
-    gathered straight from the bitmask, so memory is O(chunk x positions)."""
-    packed = np.asarray(packed, np.uint8)
-    n = packed.shape[0]
+def make_essential_counter_packed(
+    essential_gene_positions: Dict[str, List[int]], width: int
+):
+    """Build a per-chunk essential-gene counter over PACKED masks.
+
+    Same semantics as :func:`count_essential_genes` (a multi-position gene
+    counts once if ANY position is set; positions >= ``width`` ignored —
+    extras.py:49-87), with the position/segment tables built ONCE so the
+    returned ``counter(packed_chunk) -> per-row counts`` is cheap enough to
+    run per decode chunk (the sample-mode analytics hide inside the
+    transfer-bound sampling phase via ``Sampler.sample_packed(on_chunk=)``).
+    """
     pos_flat: List[int] = []
     seg_starts: List[int] = []
     for _, positions in essential_gene_positions.items():
@@ -585,16 +597,37 @@ def count_essential_genes_packed(
         seg_starts.append(len(pos_flat))
         pos_flat.extend(valid)
     if not pos_flat:
-        return np.zeros(n, dtype=int)
+        return lambda chunk: np.zeros(np.asarray(chunk).shape[0], dtype=int)
     pos = np.asarray(pos_flat, np.int64)
     byte_idx, shift = pos >> 3, (pos & 7).astype(np.uint8)
     segs = np.asarray(seg_starts)
+
+    def counter(packed_chunk: np.ndarray) -> np.ndarray:
+        packed_chunk = np.asarray(packed_chunk, np.uint8)
+        present = (packed_chunk[:, byte_idx] >> shift) & 1
+        per_gene_any = np.logical_or.reduceat(present.astype(bool), segs,
+                                              axis=1)
+        return per_gene_any.sum(axis=1).astype(int)
+
+    return counter
+
+
+def count_essential_genes_packed(
+    packed: np.ndarray,
+    essential_gene_positions: Dict[str, List[int]],
+    width: int,
+    chunk_rows: int = 8192,
+) -> np.ndarray:
+    """:func:`count_essential_genes` on PACKED masks: identical semantics,
+    memory O(chunk x positions) — the whole-array form of
+    :func:`make_essential_counter_packed`."""
+    packed = np.asarray(packed, np.uint8)
+    n = packed.shape[0]
+    counter = make_essential_counter_packed(essential_gene_positions, width)
     out = np.empty(n, np.int64)
     for lo in range(0, n, chunk_rows):
         hi = min(lo + chunk_rows, n)
-        present = (packed[lo:hi][:, byte_idx] >> shift) & 1
-        per_gene_any = np.logical_or.reduceat(present.astype(bool), segs, axis=1)
-        out[lo:hi] = per_gene_any.sum(axis=1)
+        out[lo:hi] = counter(packed[lo:hi])
     return out.astype(int)
 
 

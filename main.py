@@ -248,19 +248,32 @@ def run_sampling(args) -> bool:
     # (N, 55k) matrix (~5.5 GB uint8, ~22 GB as the f32 .npy).
     meter = Throughput()
     key = jax.random.key(args.seed)
-    with meter.phase("sample", args.num_samples):
+    # per-chunk analytics run inside the decode loop: genome sizes and
+    # essential counts are computed while the device decodes/transfers the
+    # chunks ahead, so the (host-side) analyze work hides inside the
+    # transfer-bound sampling phase instead of serializing after it
+    counter = SMP.make_essential_counter_packed(essential_gene_positions,
+                                                width=matrix.n_genes)
+    size_parts, ess_parts = [], []
+
+    def analyze_chunk(lo, hi, chunk):
+        size_parts.append(SMP.popcount_rows(chunk))
+        ess_parts.append(counter(chunk))
+
+    with meter.phase("sample+analyze", args.num_samples):
         if args.sampling_mode == "default":
             print("Generating default samples...")
-            packed, z = sampler.sample_packed(key, args.num_samples)
+            packed, z = sampler.sample_packed(key, args.num_samples,
+                                              on_chunk=analyze_chunk)
         else:
             print("Generating focused samples...")
             packed, z = sampler.sample_focused_packed(
-                key, args.num_samples, noise_level=args.noise_level)
-
-    with meter.phase("analyze", args.num_samples):
-        genome_sizes = SMP.popcount_rows(packed)
-        essential_counts = SMP.count_essential_genes_packed(
-            packed, essential_gene_positions, width=matrix.n_genes)
+                key, args.num_samples, noise_level=args.noise_level,
+                on_chunk=analyze_chunk)
+        genome_sizes = np.concatenate(size_parts) if size_parts else \
+            np.zeros(0, np.int64)
+        essential_counts = np.concatenate(ess_parts) if ess_parts else \
+            np.zeros(0, int)
     print("\n✓ Sampling Results:")
     print(f"- Generated samples: {packed.shape[0]}")
     print(f"- Median genome size: {np.median(genome_sizes):.0f} genes")

@@ -192,6 +192,37 @@ def test_small_n_decodes_share_one_compiled_program():
 # materialize the dense matrix at 100k scale)
 # ---------------------------------------------------------------------------
 
+def test_on_chunk_analytics_match_posthoc(sampler):
+    """The per-chunk analytics hook (sample-mode overlap) must see every
+    row exactly once, in order, and produce identical genome sizes /
+    essential counts to the whole-array functions."""
+    from genome_minimizer_2_tpu.sample.sampler import (
+        count_essential_genes_packed, make_essential_counter_packed,
+        popcount_rows)
+
+    positions = {"gA": [0, 3], "gB": [5], "far": [10_000]}
+    counter = make_essential_counter_packed(positions,
+                                            width=sampler.cfg.input_dim)
+    spans, sizes, ess = [], [], []
+
+    def on_chunk(lo, hi, chunk):
+        assert chunk.shape[0] == hi - lo
+        spans.append((lo, hi))
+        sizes.append(popcount_rows(chunk))
+        ess.append(counter(chunk))
+
+    packed, _ = sampler.sample_packed(jax.random.key(20), 37,
+                                      on_chunk=on_chunk)
+    assert spans == [(lo, min(lo + sampler.chunk_size, 37))
+                     for lo in range(0, 37, sampler.chunk_size)]
+    np.testing.assert_array_equal(np.concatenate(sizes),
+                                  popcount_rows(packed))
+    np.testing.assert_array_equal(
+        np.concatenate(ess),
+        count_essential_genes_packed(packed, positions,
+                                     width=sampler.cfg.input_dim))
+
+
 def test_sample_packed_matches_dense(sampler):
     binary, _, z = sampler.sample(jax.random.key(11), 29)
     packed, z2 = sampler.sample_packed(jax.random.key(11), 29)
